@@ -1,0 +1,211 @@
+"""Host-side datasets over preprocessed slices.
+
+Capability parity with the reference (``src/data/mri_dataset.py`` and
+``src/data/mri_sampler.py``, studied not copied):
+
+- ``MRIDataset``: reads ``metadata.csv``, filters by MRI type and
+  ``slice_num <= max_slice_num`` (reference filters ``<= 10`` and "Flair",
+  ``mri_dataset.py:80-82``), optional file subsetting with a fixed seed
+  (31415, ``mri_dataset.py:87-90``), eagerly tiles every slice into
+  overlapping outer patches and serves (fully-sampled, undersampled) patch
+  pairs; also exposes whole slices for snapshot rendering.
+- ``MRISampler``: evaluation sampler that shuffles the file list once with
+  seed 42 and serves full slices sequentially (``mri_sampler.py:15-90``).
+
+Design deltas (deliberate, documented in SURVEY appendix):
+- the reference's black-patch filter is a silent no-op for training data
+  (``mri_dataset.py:144-148``); here filtering is a real opt-in
+  (``filter_black=True``) computed once at load;
+- batches are drawn with a numpy PRNG per epoch and padded/dropped to a
+  static shape so the jitted train step never recompiles.
+"""
+
+from __future__ import annotations
+
+import csv
+import pathlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from mri_inr_tpu.data.preprocessing import undersample_column
+
+BLACK_PATCH_THRESHOLD = 1e-10
+
+
+def tile_image_np(
+    image: np.ndarray, outer_patch_size: int, inner_patch_size: int
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Numpy twin of :func:`mri_inr_tpu.ops.tiling.image_to_patches` for the
+    host-side data pipeline. Returns (patches (nv*nh, P, P), (nv, nh))."""
+    height, width = image.shape
+    pad = (outer_patch_size - inner_patch_size) // 2
+    vpad = (inner_patch_size - height % inner_patch_size) % inner_patch_size
+    hpad = (inner_patch_size - width % inner_patch_size) % inner_patch_size
+    padded = np.pad(image, ((pad, pad + vpad), (pad, pad + hpad)), mode="reflect")
+    windows = np.lib.stride_tricks.sliding_window_view(
+        padded, (outer_patch_size, outer_patch_size)
+    )[::inner_patch_size, ::inner_patch_size]
+    nv, nh = windows.shape[:2]
+    return windows.reshape(nv * nh, outer_patch_size, outer_patch_size).copy(), (
+        nv,
+        nh,
+    )
+
+
+def read_metadata(metadata_path: str | pathlib.Path) -> list[dict]:
+    with open(metadata_path, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+def _select_rows(
+    rows: list[dict],
+    mri_type: str | None,
+    max_slice_num: int | None,
+    num_samples: int | None,
+    seed: int,
+) -> list[dict]:
+    if mri_type:
+        rows = [r for r in rows if r["mri_type"] == mri_type]
+    if max_slice_num is not None:
+        rows = [r for r in rows if int(r["slice_num"]) <= max_slice_num]
+    if num_samples is not None and num_samples < len(rows):
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(rows), size=num_samples, replace=False)
+        rows = [rows[i] for i in sorted(idx)]
+    return rows
+
+
+@dataclass
+class SlicePair:
+    slice_id: str
+    fully_sampled: np.ndarray
+    undersampled: np.ndarray
+
+
+class MRIDataset:
+    """Eagerly-tiled training dataset of (fully-sampled, undersampled)
+    outer-patch pairs."""
+
+    def __init__(
+        self,
+        metadata_path: str | pathlib.Path,
+        center_fraction: float = 0.05,
+        acceleration: int = 6,
+        mri_type: str | None = "Flair",
+        max_slice_num: int | None = 10,
+        num_samples: int | None = None,
+        seed: int = 31415,
+        outer_patch_size: int = 32,
+        inner_patch_size: int = 16,
+        filter_black: bool = False,
+    ):
+        self.outer_patch_size = outer_patch_size
+        self.inner_patch_size = inner_patch_size
+        self.undersampled_col = undersample_column(center_fraction, acceleration)
+
+        rows = _select_rows(
+            read_metadata(metadata_path), mri_type, max_slice_num, num_samples, seed
+        )
+        if not rows:
+            raise ValueError(f"No slices selected from {metadata_path}")
+        self.rows = rows
+
+        fully, under = [], []
+        for row in rows:
+            full_img = np.load(row["path_fullysampled"]).astype(np.float32)
+            under_img = np.load(row[self.undersampled_col]).astype(np.float32)
+            f_tiles, _ = tile_image_np(full_img, outer_patch_size, inner_patch_size)
+            u_tiles, _ = tile_image_np(under_img, outer_patch_size, inner_patch_size)
+            fully.append(f_tiles)
+            under.append(u_tiles)
+        self.fully_tiles = np.concatenate(fully)
+        self.under_tiles = np.concatenate(under)
+
+        if filter_black:
+            keep = self.fully_tiles.mean(axis=(-2, -1)) >= BLACK_PATCH_THRESHOLD
+            self.fully_tiles = self.fully_tiles[keep]
+            self.under_tiles = self.under_tiles[keep]
+
+    def __len__(self) -> int:
+        return self.fully_tiles.shape[0]
+
+    def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        return self.fully_tiles[idx], self.under_tiles[idx]
+
+    def batches(self, batch_size: int, seed: int, shuffle: bool = True):
+        """Yield static-shape (fully, under) batches; the trailing remainder
+        is wrapped around (so every batch has exactly ``batch_size`` rows and
+        the jitted step never recompiles)."""
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        num_batches = max(1, n // batch_size)
+        for b in range(num_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            if len(idx) < batch_size:
+                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            yield self.fully_tiles[idx], self.under_tiles[idx]
+
+    def get_slice(self, index: int) -> SlicePair:
+        row = self.rows[index % len(self.rows)]
+        return SlicePair(
+            slice_id=row["slice_id"],
+            fully_sampled=np.load(row["path_fullysampled"]).astype(np.float32),
+            undersampled=np.load(row[self.undersampled_col]).astype(np.float32),
+        )
+
+    def get_random_slice(self, rng: np.random.Generator | None = None) -> SlicePair:
+        rng = rng or np.random.default_rng()
+        return self.get_slice(int(rng.integers(len(self.rows))))
+
+
+class MRISampler:
+    """Evaluation sampler: shuffles the slice list once (seed 42, like the
+    reference) then serves full slices sequentially."""
+
+    def __init__(
+        self,
+        metadata_path: str | pathlib.Path,
+        center_fraction: float = 0.05,
+        acceleration: int = 6,
+        mri_type: str | None = "Flair",
+        max_slice_num: int | None = 10,
+        num_samples: int | None = None,
+        seed: int = 42,
+    ):
+        self.undersampled_col = undersample_column(center_fraction, acceleration)
+        rows = _select_rows(
+            read_metadata(metadata_path), mri_type, max_slice_num, None, seed
+        )
+        if not rows:
+            raise ValueError(f"No slices selected from {metadata_path}")
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(rows))
+        if num_samples is not None:
+            order = order[:num_samples]
+        self.rows = [rows[i] for i in order]
+        self._counter = 0
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def next_sample(self) -> SlicePair:
+        row = self.rows[self._counter % len(self.rows)]
+        self._counter += 1
+        return SlicePair(
+            slice_id=row["slice_id"],
+            fully_sampled=np.load(row["path_fullysampled"]).astype(np.float32),
+            undersampled=np.load(row[self.undersampled_col]).astype(np.float32),
+        )
+
+    def shard(self, index: int, count: int) -> "MRISampler":
+        """Deterministic file shard for pod-parallel evaluation: host
+        ``index`` of ``count`` evaluates every count-th slice."""
+        import copy
+
+        other = copy.copy(self)
+        other.rows = self.rows[index::count]
+        other._counter = 0
+        return other

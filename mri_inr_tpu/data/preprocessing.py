@@ -1,0 +1,140 @@
+"""Offline preprocessing: ``.h5`` k-space volumes -> normalized image-space
+``.npy`` slices + ``metadata.csv``.
+
+Capability parity with the reference (``src/data/preprocessing.py:102-164``
+and ``preprocessing_script.py``, studied not copied): per volume it writes a
+fully-sampled reconstruction and one undersampled variant per
+(center_fraction, acceleration) pair, each min-max normalized over the whole
+volume, plus a metadata index with columns
+``path_fullysampled, stem, slice_id, slice_num, width, height, mri_type,
+mri_area, path_undersampled_{cf}_{acc}...``.
+
+TPU-native notes: the IFFT/mask/normalize chain is the jitted pipeline from
+:mod:`mri_inr_tpu.data.kspace` (whole volumes transformed in one device
+call); masks are drawn from explicit, per-(volume, mask-params) derived JAX
+PRNG keys so preprocessing is reproducible (the reference's RandomMaskFunc
+is unseeded).
+"""
+
+from __future__ import annotations
+
+import csv
+import pathlib
+import re
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mri_inr_tpu.data import kspace
+
+
+def load_h5(path: str | pathlib.Path) -> np.ndarray:
+    with h5py.File(path, "r") as f:
+        return f["kspace"][()]
+
+
+def get_mri_type(stem: str) -> str | None:
+    s = stem.lower()
+    if "flair" in s:
+        return "Flair"
+    if "t1" in s:
+        return "T1"
+    if "t2" in s:
+        return "T2"
+    return None
+
+
+def get_mri_area(stem: str) -> str | None:
+    s = stem.lower()
+    if "brain" in s:
+        return "Brain"
+    if "knee" in s:
+        return "Knee"
+    return None
+
+
+def _stable_seed(*parts) -> int:
+    """Deterministic 32-bit seed from string/number parts (zlib crc — stable
+    across processes, unlike hash())."""
+    import zlib
+
+    text = "|".join(str(p) for p in parts)
+    return zlib.crc32(text.encode())
+
+
+def undersample_column(cf: float, acc: int) -> str:
+    return f"path_undersampled_{cf}_{acc}"
+
+
+def process_volume(
+    path: pathlib.Path,
+    output_dir: pathlib.Path,
+    undersample_params: list[tuple[float, int]],
+) -> list[dict]:
+    """Process one ``.h5`` volume; returns one metadata row per slice."""
+    k = jnp.asarray(load_h5(path))
+    stem = path.stem
+
+    full = kspace.normalize_scan(kspace.reconstruct_magnitude(k))
+    variants = {}
+    for cf, acc in undersample_params:
+        key = jax.random.key(_stable_seed(stem, cf, acc))
+        masked, _ = kspace.undersample_volume(k, key, cf, acc)
+        variants[(cf, acc)] = kspace.normalize_scan(
+            kspace.reconstruct_magnitude(masked)
+        )
+
+    rows = []
+    full_np = np.asarray(full)
+    variants_np = {p: np.asarray(v) for p, v in variants.items()}
+    num_slices = full_np.shape[0]
+    for s in range(num_slices):
+        slice_id = f"{stem}_{s}"
+        full_path = output_dir / f"{slice_id}_fullysampled.npy"
+        np.save(full_path, full_np[s])
+        row = {
+            "path_fullysampled": str(full_path),
+            "stem": stem,
+            "slice_id": slice_id,
+            "slice_num": s,
+            "width": full_np.shape[2],
+            "height": full_np.shape[1],
+            "mri_type": get_mri_type(stem),
+            "mri_area": get_mri_area(stem),
+        }
+        for (cf, acc), vol in variants_np.items():
+            upath = output_dir / f"{slice_id}_undersampled_{cf}_{acc}.npy"
+            np.save(upath, vol[s])
+            row[undersample_column(cf, acc)] = str(upath)
+        rows.append(row)
+    return rows
+
+
+def process_files(
+    data_root: str | pathlib.Path,
+    output_dir: str | pathlib.Path | None = None,
+    undersample_params: list[tuple[float, int]] = ((0.05, 6), (0.1, 6)),
+) -> pathlib.Path:
+    """Walk ``*.h5`` under ``data_root``, write slices + ``metadata.csv``
+    into ``output_dir`` (default: ``data_root/processed``). Returns the
+    metadata path."""
+    data_root = pathlib.Path(data_root)
+    output_dir = pathlib.Path(output_dir or data_root / "processed")
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    rows = []
+    for path in sorted(data_root.glob("*.h5")):
+        rows.extend(process_volume(path, output_dir, list(undersample_params)))
+
+    if not rows:
+        raise FileNotFoundError(f"No .h5 files found under {data_root}")
+
+    metadata_path = output_dir / "metadata.csv"
+    fieldnames = list(rows[0].keys())
+    with open(metadata_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=fieldnames)
+        writer.writeheader()
+        writer.writerows(rows)
+    return metadata_path

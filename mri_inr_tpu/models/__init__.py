@@ -1,0 +1,19 @@
+from mri_inr_tpu.models.siren import Modulator, SirenLayer, SirenNet
+from mri_inr_tpu.models.encoder import (
+    ConvAutoencoder,
+    ConvEncoder,
+    LatentEncoder,
+    VGGEncoder,
+)
+from mri_inr_tpu.models.modulated_siren import ModulatedSiren
+
+__all__ = [
+    "Modulator",
+    "SirenLayer",
+    "SirenNet",
+    "ConvAutoencoder",
+    "ConvEncoder",
+    "LatentEncoder",
+    "VGGEncoder",
+    "ModulatedSiren",
+]

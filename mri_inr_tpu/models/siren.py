@@ -1,0 +1,143 @@
+"""SIREN building blocks (Flax linen).
+
+Behavioral parity with the reference (studied, not copied):
+- ``Sine``/``Morlet`` activations (``src/networks/modulated_siren.py:31-80``):
+  ``sin(w0*x)`` and ``sin(w0*x) * exp(-x**2/2)``.
+- SIREN init (``modulated_siren.py:120-142``): weights and bias drawn from
+  ``U(-s, s)`` with ``s = 1/dim_in`` for the first layer else
+  ``sqrt(c/dim_in)/w0``, ``c = 6``.
+- ``SirenNet`` (``modulated_siren.py:160-233``): ``num_layers`` hidden
+  layers (first ``w0_initial=30``, rest ``w0=1``), dropout after activation,
+  per-layer multiplicative FiLM modulation ``x *= mod[:, None, :]``; a final
+  sine layer without modulation or dropout.
+- ``Modulator`` (``modulated_siren.py:304-343``): per layer
+  ``Linear -> ReLU`` with the latent re-concatenated to the hidden state
+  before every subsequent layer.
+
+TPU notes: all matmuls run through an optional compute dtype (bf16 on MXU);
+params stay fp32. The fused Pallas forward in ``ops/siren_kernel.py``
+consumes the exact same parameter pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def siren_uniform_init(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
+
+    return init
+
+
+def apply_activation(pre: jax.Array, w0: float, activation: str) -> jax.Array:
+    if activation == "morlet":
+        return jnp.sin(w0 * pre) * jnp.exp(-0.5 * jnp.square(pre))
+    return jnp.sin(w0 * pre)
+
+
+class SirenLayer(nn.Module):
+    """One sine(-or-Morlet)-activated linear layer with SIREN init."""
+
+    features: int
+    w0: float = 1.0
+    c: float = 6.0
+    is_first: bool = False
+    use_bias: bool = True
+    activation: str = "sine"
+    dropout: float = 0.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dim_in = x.shape[-1]
+        scale = (1.0 / dim_in) if self.is_first else (
+            (self.c / dim_in) ** 0.5 / self.w0
+        )
+        kernel = self.param("kernel", siren_uniform_init(scale), (dim_in, self.features))
+        x = x.astype(self.compute_dtype)
+        pre = x @ kernel.astype(self.compute_dtype)
+        if self.use_bias:
+            bias = self.param("bias", siren_uniform_init(scale), (self.features,))
+            pre = pre + bias.astype(self.compute_dtype)
+        out = apply_activation(pre, self.w0, self.activation)
+        if self.dropout > 0.0:
+            out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class SirenNet(nn.Module):
+    """Stack of modulated SIREN layers + unmodulated sine output layer."""
+
+    dim_hidden: int = 256
+    dim_out: int = 1
+    num_layers: int = 5
+    w0: float = 1.0
+    w0_initial: float = 30.0
+    use_bias: bool = True
+    dropout: float = 0.1
+    activation: str = "sine"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        coords: jax.Array,
+        mods: Sequence[jax.Array] | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """coords: (B, S, dim_in); mods: num_layers arrays of (B, dim_hidden).
+
+        Returns (B, S, dim_out).
+        """
+        x = coords
+        for i in range(self.num_layers):
+            x = SirenLayer(
+                features=self.dim_hidden,
+                w0=self.w0_initial if i == 0 else self.w0,
+                is_first=i == 0,
+                use_bias=self.use_bias,
+                activation=self.activation,
+                dropout=self.dropout,
+                compute_dtype=self.compute_dtype,
+                name=f"layer_{i}",
+            )(x, deterministic=deterministic)
+            if mods is not None:
+                x = x * mods[i][:, None, :].astype(x.dtype)
+        out = SirenLayer(
+            features=self.dim_out,
+            w0=self.w0,
+            use_bias=self.use_bias,
+            activation=self.activation,
+            compute_dtype=self.compute_dtype,
+            name="last_layer",
+        )(x, deterministic=deterministic)
+        return out
+
+
+class Modulator(nn.Module):
+    """Latent -> per-layer FiLM modulations; the latent is re-concatenated
+    before every layer after the first."""
+
+    dim_hidden: int = 256
+    num_layers: int = 5
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> tuple[jax.Array, ...]:
+        z = z.astype(self.compute_dtype)
+        x = z
+        hiddens = []
+        for i in range(self.num_layers):
+            x = nn.Dense(
+                self.dim_hidden, dtype=self.compute_dtype, name=f"layer_{i}"
+            )(x)
+            x = nn.relu(x)
+            hiddens.append(x)
+            x = jnp.concatenate([x, z], axis=-1)
+        return tuple(hiddens)
