@@ -199,6 +199,16 @@ def apply_overrides(cfg, overrides: list[str]):
             raise ValueError(f"Override must be key.path=value, got {item!r}")
         path, raw = item.split("=", 1)
         value = yaml.safe_load(raw)
+        # YAML 1.1 parses "1e-3" (no dot) as a string — coerce numeric-looking
+        # strings so "--set training.lr=1e-3" means what the user meant.
+        if isinstance(value, str):
+            try:
+                value = int(value)
+            except ValueError:
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
         obj = cfg
         parts = path.split(".")
         for p in parts[:-1]:

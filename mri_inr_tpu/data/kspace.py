@@ -106,3 +106,45 @@ def reconstruct_magnitude(kspace: jax.Array) -> jax.Array:
     """k-space -> image-space magnitude (the reference's load path:
     ``ifft2c`` then ``complex_abs``)."""
     return complex_abs(ifft2c(kspace))
+
+
+# ---------------------------------------------------------------------------
+# Real/imag-pair interface. The axon TPU runtime cannot transfer complex64
+# across the host<->device boundary (UNIMPLEMENTED), though on-device complex
+# compute works — so the device API takes float32 (..., H, W, 2) arrays and
+# forms/splits complex inside jit. This is also the layout fastMRI itself
+# uses for k-space tensors.
+# ---------------------------------------------------------------------------
+
+
+def to_ri(kspace_complex) -> jax.Array:
+    """Host-side complex (...,H,W) -> float32 (...,H,W,2) real/imag pairs."""
+    import numpy as np
+
+    k = np.asarray(kspace_complex)
+    return np.stack([k.real, k.imag], axis=-1).astype(np.float32)
+
+
+def _ri_to_complex(ri: jax.Array) -> jax.Array:
+    return jax.lax.complex(ri[..., 0], ri[..., 1])
+
+
+@jax.jit
+def reconstruct_magnitude_ri(kspace_ri: jax.Array) -> jax.Array:
+    """float32 (..., H, W, 2) k-space -> (..., H, W) magnitude image."""
+    return complex_abs(ifft2c(_ri_to_complex(kspace_ri)))
+
+
+def apply_mask_ri(kspace_ri: jax.Array, mask: jax.Array) -> jax.Array:
+    """Column mask on (..., H, W, 2) real/imag k-space."""
+    return kspace_ri * mask[:, None].astype(kspace_ri.dtype)
+
+
+def undersample_volume_ri(
+    kspace_ri: jax.Array,
+    key: jax.Array,
+    center_fraction: float,
+    acceleration: float,
+) -> tuple[jax.Array, jax.Array]:
+    mask = random_mask(key, kspace_ri.shape[-2], center_fraction, acceleration)
+    return apply_mask_ri(kspace_ri, mask), mask

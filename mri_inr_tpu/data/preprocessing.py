@@ -74,16 +74,18 @@ def process_volume(
     undersample_params: list[tuple[float, int]],
 ) -> list[dict]:
     """Process one ``.h5`` volume; returns one metadata row per slice."""
-    k = jnp.asarray(load_h5(path))
+    # real/imag pairs: complex64 cannot cross the host<->device boundary on
+    # the axon TPU runtime (see kspace.py), so complex is formed inside jit.
+    k = jnp.asarray(kspace.to_ri(load_h5(path)))
     stem = path.stem
 
-    full = kspace.normalize_scan(kspace.reconstruct_magnitude(k))
+    full = kspace.normalize_scan(kspace.reconstruct_magnitude_ri(k))
     variants = {}
     for cf, acc in undersample_params:
         key = jax.random.key(_stable_seed(stem, cf, acc))
-        masked, _ = kspace.undersample_volume(k, key, cf, acc)
+        masked, _ = kspace.undersample_volume_ri(k, key, cf, acc)
         variants[(cf, acc)] = kspace.normalize_scan(
-            kspace.reconstruct_magnitude(masked)
+            kspace.reconstruct_magnitude_ri(masked)
         )
 
     rows = []

@@ -54,6 +54,7 @@ class ModulatedSiren(nn.Module):
     siren_patch_size: int = 24
     activation: str = "sine"
     compute_dtype: jnp.dtype = jnp.float32
+    exact_sine: bool = False
 
     def setup(self):
         self.net = SirenNet(
@@ -66,6 +67,7 @@ class ModulatedSiren(nn.Module):
             dropout=self.dropout,
             activation=self.activation,
             compute_dtype=self.compute_dtype,
+            exact_sine=self.exact_sine,
         )
         self.modulator = Modulator(
             dim_hidden=self.dim_hidden,

@@ -27,6 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from mri_inr_tpu.ops.fast_math import fast_sin
+
 
 def siren_uniform_init(scale: float):
     def init(key, shape, dtype=jnp.float32):
@@ -35,10 +37,17 @@ def siren_uniform_init(scale: float):
     return init
 
 
-def apply_activation(pre: jax.Array, w0: float, activation: str) -> jax.Array:
+def apply_activation(
+    pre: jax.Array, w0: float, activation: str, exact: bool = False
+) -> jax.Array:
+    """Sine / Morlet activation. By default sine uses the polynomial
+    ``fast_sin`` (|err| <= 5.9e-6 — fully hidden under the MXU matmuls on
+    TPU, unlike XLA's sin; see ops/fast_math.py); ``exact=True`` selects
+    XLA's precise sin for parity testing."""
+    sin = jnp.sin if exact else fast_sin
     if activation == "morlet":
-        return jnp.sin(w0 * pre) * jnp.exp(-0.5 * jnp.square(pre))
-    return jnp.sin(w0 * pre)
+        return sin(w0 * pre) * jnp.exp(-0.5 * jnp.square(pre))
+    return sin(w0 * pre)
 
 
 class SirenLayer(nn.Module):
@@ -52,6 +61,7 @@ class SirenLayer(nn.Module):
     activation: str = "sine"
     dropout: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
+    exact_sine: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -65,7 +75,7 @@ class SirenLayer(nn.Module):
         if self.use_bias:
             bias = self.param("bias", siren_uniform_init(scale), (self.features,))
             pre = pre + bias.astype(self.compute_dtype)
-        out = apply_activation(pre, self.w0, self.activation)
+        out = apply_activation(pre, self.w0, self.activation, self.exact_sine)
         if self.dropout > 0.0:
             out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
         return out
@@ -83,6 +93,7 @@ class SirenNet(nn.Module):
     dropout: float = 0.1
     activation: str = "sine"
     compute_dtype: jnp.dtype = jnp.float32
+    exact_sine: bool = False
 
     @nn.compact
     def __call__(
@@ -105,6 +116,7 @@ class SirenNet(nn.Module):
                 activation=self.activation,
                 dropout=self.dropout,
                 compute_dtype=self.compute_dtype,
+                exact_sine=self.exact_sine,
                 name=f"layer_{i}",
             )(x, deterministic=deterministic)
             if mods is not None:
@@ -115,6 +127,7 @@ class SirenNet(nn.Module):
             use_bias=self.use_bias,
             activation=self.activation,
             compute_dtype=self.compute_dtype,
+            exact_sine=self.exact_sine,
             name="last_layer",
         )(x, deterministic=deterministic)
         return out

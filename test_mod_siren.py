@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Evaluation CLI: visual samples + metric sweep over the validation set.
+
+Parity with the reference's ``test_mod_siren.py`` (studied, not copied):
+loads a checkpoint, renders N visual samples (reconstruction/undersampled/
+fully-sampled/difference PNGs + comparison panel), scores M metric samples
+(default: every selected slice), writes ``metrics_error.csv``,
+``metrics_summary.txt``, boxplots and density plots.
+
+TPU-native: the per-slice pipeline is one jitted call; the file sweep is
+shardable across processes (``--shard i:n``) — the pod-parallel axis for
+the 940-file validation run.
+
+Usage:
+    python test_mod_siren.py --config configs/test.yaml \
+        [--set data.metric_samples=50] [--shard 0:4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", "-c", default=None)
+    parser.add_argument("--set", dest="overrides", action="append", default=[])
+    parser.add_argument(
+        "--shard",
+        default=None,
+        metavar="I:N",
+        help="evaluate file shard I of N (multi-host sweep)",
+    )
+    from mri_inr_tpu.utils.platform import add_platform_arg, select_platform
+
+    add_platform_arg(parser)
+    args = parser.parse_args()
+    select_platform(args.platform)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_inr_tpu.configuration import load_test_configuration
+    from mri_inr_tpu.data.dataset import MRISampler
+    from mri_inr_tpu.eval import metrics as metrics_mod
+    from mri_inr_tpu.eval.evaluate import (
+        SliceReconstructor,
+        evaluate_files,
+        write_metrics_artifacts,
+    )
+    from mri_inr_tpu.models import modulated_siren as ms
+    from mri_inr_tpu.train import checkpoint as ckpt_lib
+    from mri_inr_tpu.train.trainer import create_train_state
+    from mri_inr_tpu.utils import visualization
+
+    cfg = load_test_configuration(args.config, args.overrides)
+    ecfg, mcfg = cfg.data, cfg.model
+
+    model = ms.from_config(mcfg)
+    state = create_train_state(
+        model,
+        jax.random.key(0),
+        jnp.zeros((2, mcfg.outer_patch_size, mcfg.outer_patch_size)),
+        "adam",
+        1e-4,
+    )
+    model_path = pathlib.Path(ecfg.model_path)
+    # model_path may be a run dir (newest step restored) or a step dir
+    if (model_path / "checkpoints").is_dir():
+        step = ckpt_lib.find_latest_step(model_path)
+        state = ckpt_lib.restore_state(model_path, step, state)
+        print(f"restored {model_path} step {step}")
+    else:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(model_path.absolute(), state)
+        print(f"restored {model_path}")
+
+    output_dir = (
+        pathlib.Path(ecfg.output_dir) / ecfg.output_name
+    )
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    sampler = MRISampler(
+        ecfg.dataset,
+        center_fraction=ecfg.center_fraction,
+        acceleration=ecfg.acceleration,
+    )
+    if args.shard:
+        i, n = (int(x) for x in args.shard.split(":"))
+        sampler = sampler.shard(i, n)
+        print(f"shard {i}/{n}: {len(sampler)} slices")
+
+    reconstructor = SliceReconstructor(
+        lambda params, patches: model.apply(
+            {"params": params}, patches, deterministic=True
+        ),
+        outer_patch_size=mcfg.outer_patch_size,
+        inner_patch_size=mcfg.inner_patch_size,
+        siren_patch_size=mcfg.siren_patch_size,
+        patch_bucket=ecfg.batch_patches,
+    )
+
+    # visual pass
+    for _ in range(ecfg.visual_samples):
+        pair = sampler.next_sample()
+        recon, fully, under, m = reconstructor(
+            state.params, pair.fully_sampled, pair.undersampled
+        )
+        vis_dir = output_dir / pair.slice_id
+        visualization.save_image(np.asarray(recon), f"{pair.slice_id}_reconstructed", vis_dir)
+        visualization.save_image(np.asarray(under), f"{pair.slice_id}_undersampled", vis_dir)
+        visualization.save_image(np.asarray(fully), f"{pair.slice_id}_fully_sampled", vis_dir)
+        diff = np.abs(np.asarray(fully) - np.asarray(recon))
+        visualization.save_image(diff, f"{pair.slice_id}_difference", vis_dir)
+        visualization.save_image_comparison(
+            [np.asarray(fully), np.asarray(under), np.asarray(recon), diff],
+            ["fully sampled", "undersampled", "reconstruction", "difference"],
+            f"{pair.slice_id}_comparison",
+            vis_dir,
+        )
+        (vis_dir / f"{pair.slice_id}_error.txt").write_text(
+            "".join(f"{k}: {float(v):.6f}\n" for k, v in m.items())
+        )
+        print(f"visual sample {pair.slice_id}: "
+              + " ".join(f"{k}={float(v):.4f}" for k, v in m.items()))
+
+    # metric pass
+    results = evaluate_files(
+        reconstructor, state.params, sampler, num_samples=ecfg.metric_samples
+    )
+    suffix = f"_shard{args.shard.replace(':', '_')}" if args.shard else ""
+    metrics_dir = output_dir if not suffix else output_dir / f"metrics{suffix}"
+    summary = write_metrics_artifacts(results, metrics_dir)
+    values = {
+        "PSNR": np.array([r.psnr for r in results]),
+        "SSIM": np.array([r.ssim for r in results]),
+        "NRMSE": np.array([r.nrmse for r in results]),
+    }
+    visualization.metrics_boxplot(values, metrics_dir)
+    visualization.metrics_density_plot(values, metrics_dir)
+    for name, stats in summary.items():
+        print(
+            f"{name}: mean={stats['mean']:.4f} std={stats['std']:.4f} "
+            f"min={stats['min']:.4f} max={stats['max']:.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,7 @@ def test_siren_layer_init_distribution():
 
 def test_siren_layer_forward_manual():
     """Flax forward equals manual sin(w0 * (x @ W + b))."""
-    layer = SirenLayer(features=8, w0=30.0, is_first=True)
+    layer = SirenLayer(features=8, w0=30.0, is_first=True, exact_sine=True)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 2)), jnp.float32)
     params = layer.init(jax.random.key(1), x)
     out = layer.apply(params, x)
@@ -49,7 +49,7 @@ def test_siren_layer_forward_manual():
 
 
 def test_morlet_activation():
-    layer = SirenLayer(features=8, w0=1.0, activation="morlet")
+    layer = SirenLayer(features=8, w0=1.0, activation="morlet", exact_sine=True)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4)), jnp.float32)
     params = layer.init(jax.random.key(1), x)
     out = layer.apply(params, x)

@@ -1,0 +1,79 @@
+"""Distributed-equivalence tests on the 8-virtual-device CPU mesh
+(SURVEY §4: sharded loss/eval must equal the single-device run)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_inr_tpu.models.modulated_siren import ModulatedSiren
+from mri_inr_tpu.parallel import mesh as mesh_lib
+from mri_inr_tpu.train import losses
+from mri_inr_tpu.train.trainer import create_train_state, make_eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ModulatedSiren(dim_hidden=32, latent_dim=32, num_layers=2, dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def batch(model):
+    rng = np.random.default_rng(0)
+    fully = jnp.asarray(rng.uniform(size=(16, 32, 32)).astype(np.float32))
+    under = jnp.asarray(rng.uniform(size=(16, 32, 32)).astype(np.float32))
+    return fully, under
+
+
+def test_mesh_has_8_devices():
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_eval_matches_single(model, batch):
+    fully, under = batch
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 32, 32)), "adam", 1e-3
+    )
+    single = make_eval_step(model, losses.mse, 32, 24)
+    mesh = mesh_lib.make_mesh()
+    sharded = make_eval_step(model, losses.mse, 32, 24, mesh=mesh)
+    l_single = float(single(state, fully, under))
+    f_s, u_s = mesh_lib.shard_batch(mesh, fully, under)
+    l_sharded = float(sharded(state, f_s, u_s))
+    assert l_sharded == pytest.approx(l_single, rel=1e-4)
+
+
+def test_sharded_train_matches_single(model, batch):
+    """Param updates from the sharded step match the single-device step."""
+    fully, under = batch
+    rng = jax.random.key(3)
+    mesh = mesh_lib.make_mesh()
+
+    state_a = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 32, 32)), "sgd", 1e-2
+    )
+    state_b = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 32, 32)), "sgd", 1e-2
+    )
+    step_single = make_train_step(model, losses.mse, 32, 24)
+    step_sharded = make_train_step(model, losses.mse, 32, 24, mesh=mesh)
+
+    state_a, loss_a = step_single(state_a, fully, under, rng)
+    f_s, u_s = mesh_lib.shard_batch(mesh, fully, under)
+    state_b, loss_b = step_sharded(state_b, f_s, u_s, rng)
+
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-4)
+    flat_a = jax.tree.leaves(state_a.params)
+    flat_b = jax.tree.leaves(state_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_batch_sharding_layout(batch):
+    mesh = mesh_lib.make_mesh()
+    fully, _ = batch
+    sharded = mesh_lib.shard_batch(mesh, fully)
+    # each device holds batch/8 rows
+    shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+    assert shard_shapes == {(2, 32, 32)}
