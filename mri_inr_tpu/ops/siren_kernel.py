@@ -1,0 +1,307 @@
+"""Fused modulated-SIREN forward as a single Pallas TPU kernel.
+
+The hot path of the reference model (``src/networks/modulated_siren.py:
+215-233,325-343``: Modulator MLP + 5-layer sine-activated SIREN with
+per-layer FiLM modulation) is, per patch, a chain of small matmuls over a
+(576, 256) activation. On TPU the XLA path materializes the (B, 576, 256)
+activation in HBM between layers — at B=4096 that is ~1.2 GB per layer
+crossing, which makes the chain HBM-bound (~19 GB of traffic vs ~8 ms of
+MXU work). This kernel keeps the whole chain VMEM-resident: it reads only
+the (B, 256) latents + weights and writes the (B, 576) outputs.
+
+Structure exploited:
+- The first SIREN layer ``sin(w0_init*(coords @ W0 + b0))`` is
+  batch-independent (fixed coordinate grid) -> precomputed once outside
+  the kernel as ``base`` (S, H).
+- FiLM modulation ``x *= mod[b]`` is a per-row-block column scaling, so the
+  per-patch (S, H) @ (H, H) matmuls stack into one (TB*S, H) @ (H, H)
+  MXU-friendly matmul per layer per batch-block.
+- The modulator's ``concat([h, z]) @ W`` is split as ``h @ Wh + z @ Wz``
+  (no concat needed).
+- Sine uses the same degree-9 polynomial as ``ops/fast_math.fast_sin``
+  (|err| <= 5.9e-6), which the VPU overlaps with MXU work.
+
+The kernel is inference/eval-path (deterministic, no dropout); training
+uses the Flax autodiff path. Parameters are consumed directly from the
+Flax ``ModulatedSiren`` param pytree via :func:`extract_kernel_params`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mri_inr_tpu.ops.fast_math import fast_sin
+
+
+class SirenKernelParams(NamedTuple):
+    """Weights repacked for the fused kernel (H = dim_hidden, L = layers).
+
+    All matmul weights are bf16 (MXU input dtype), biases f32.
+    """
+
+    base: jax.Array  # (S, H) f32: sin(w0_init * (coords @ W0 + b0))
+    m0_w: jax.Array  # (H, H) bf16: modulator layer 0
+    m0_b: jax.Array  # (1, H) f32
+    mh_w: jax.Array  # (L-1, H, H) bf16: modulator hidden-part weights
+    mz_w: jax.Array  # (L-1, H, H) bf16: modulator latent-part weights
+    m_b: jax.Array  # (L-1, 1, H) f32
+    s_w: jax.Array  # (L-1, H, H) bf16: SIREN hidden layers 1..L-1
+    s_b: jax.Array  # (L-1, 1, H) f32
+    last_w: jax.Array  # (1, H) f32: final projection (transposed)
+    last_b: jax.Array  # (1, 1) f32
+
+
+def _poly_sin(x: jax.Array) -> jax.Array:
+    return fast_sin(x)
+
+
+def extract_kernel_params(
+    params,
+    coords: jax.Array,
+    *,
+    num_layers: int = 5,
+    w0: float = 1.0,
+    w0_initial: float = 30.0,
+    activation: str = "sine",
+) -> SirenKernelParams:
+    """Repack a Flax ``ModulatedSiren`` param tree (its ``net`` +
+    ``modulator`` collections) for the fused kernel.
+
+    ``coords``: (S, 2) fixed coordinate grid.
+    """
+    net = params["net"]
+    mod = params["modulator"]
+    l0 = net["layer_0"]
+    pre0 = coords.astype(jnp.float32) @ l0["kernel"].astype(jnp.float32)
+    pre0 = pre0 + l0["bias"].astype(jnp.float32)
+    base = jnp.sin(w0_initial * pre0)
+    if activation == "morlet":
+        base = base * jnp.exp(-0.5 * jnp.square(pre0))
+
+    hidden = net["layer_1"]["kernel"].shape[0]
+    latent = mod["layer_0"]["kernel"].shape[0]
+
+    mh_w, mz_w, m_b, s_w, s_b = [], [], [], [], []
+    for i in range(1, num_layers):
+        mw = mod[f"layer_{i}"]["kernel"]  # (hidden + latent, H)
+        mh_w.append(mw[:hidden])
+        mz_w.append(mw[hidden : hidden + latent])
+        m_b.append(mod[f"layer_{i}"]["bias"][None, :])
+        s_w.append(net[f"layer_{i}"]["kernel"])
+        s_b.append(net[f"layer_{i}"]["bias"][None, :])
+
+    bf = lambda xs: jnp.stack(xs).astype(jnp.bfloat16)
+    f32 = lambda xs: jnp.stack(xs).astype(jnp.float32)
+    return SirenKernelParams(
+        base=base.astype(jnp.float32),
+        m0_w=mod["layer_0"]["kernel"].astype(jnp.bfloat16),
+        m0_b=mod["layer_0"]["bias"][None, :].astype(jnp.float32),
+        mh_w=bf(mh_w),
+        mz_w=bf(mz_w),
+        m_b=f32(m_b),
+        s_w=bf(s_w),
+        s_b=f32(s_b),
+        last_w=net["last_layer"]["kernel"][:, 0][None, :].astype(jnp.float32),
+        last_b=net["last_layer"]["bias"].reshape(1, 1).astype(jnp.float32),
+    )
+
+
+def _kernel(
+    z_ref,
+    base_ref,
+    m0w_ref,
+    m0b_ref,
+    mhw_ref,
+    mzw_ref,
+    mb_ref,
+    sw_ref,
+    sb_ref,
+    lw_ref,
+    lb_ref,
+    out_ref,
+    *,
+    num_layers: int,
+    w0: float,
+    activation: str,
+):
+    tb, hidden = z_ref.shape
+    seq = base_ref.shape[0]
+
+    def act(pre):
+        out = _poly_sin(w0 * pre)
+        if activation == "morlet":
+            out = out * jnp.exp(-0.5 * jnp.square(pre))
+        return out
+
+    z = z_ref[:].astype(jnp.bfloat16)
+    # modulator layer 0
+    m = jnp.dot(z, m0w_ref[:], preferred_element_type=jnp.float32)
+    m = jnp.maximum(m + m0b_ref[:], 0.0)  # (TB, H) f32
+
+    # SIREN layer 0 output (precomputed base), modulated per patch
+    x = (base_ref[:][None, :, :] * m[:, None, :]).reshape(tb * seq, hidden)
+
+    for i in range(num_layers - 1):
+        # next modulation: relu(concat(m, z) @ W) == relu(m@Wh + z@Wz + b)
+        mh = jnp.dot(
+            m.astype(jnp.bfloat16), mhw_ref[i], preferred_element_type=jnp.float32
+        )
+        mz = jnp.dot(z, mzw_ref[i], preferred_element_type=jnp.float32)
+        m = jnp.maximum(mh + mz + mb_ref[i], 0.0)
+        # SIREN hidden layer i+1 over the stacked (TB*S, H) activation
+        pre = jnp.dot(
+            x.astype(jnp.bfloat16), sw_ref[i], preferred_element_type=jnp.float32
+        )
+        x = act(pre + sb_ref[i])
+        x = (x.reshape(tb, seq, hidden) * m[:, None, :]).reshape(tb * seq, hidden)
+
+    # final projection (H -> 1) as a VPU reduction, then sine
+    pre = jnp.sum(x * lw_ref[:], axis=-1).reshape(tb, seq) + lb_ref[0, 0]
+    out_ref[:] = act(pre)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_layers", "w0", "activation", "block_b", "interpret")
+)
+def fused_siren_forward(
+    kp: SirenKernelParams,
+    latents: jax.Array,
+    *,
+    num_layers: int = 5,
+    w0: float = 1.0,
+    activation: str = "sine",
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, latent) latents -> (B, S) SIREN outputs, fully fused.
+
+    B is padded to a multiple of ``block_b`` internally.
+    """
+    batch = latents.shape[0]
+    seq, hidden = kp.base.shape
+    padded = -(-batch // block_b) * block_b
+    if padded != batch:
+        latents = jnp.pad(latents, ((0, padded - batch), (0, 0)))
+
+    grid = (padded // block_b,)
+    full = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    num_l = num_layers - 1
+    flops_per_block = 2 * block_b * seq * hidden * hidden * num_l
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, num_layers=num_layers, w0=w0, activation=activation
+        ),
+        out_shape=jax.ShapeDtypeStruct((padded, seq), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, latents.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(seq, hidden),
+            full(hidden, hidden),
+            full(1, hidden),
+            full(num_l, hidden, hidden),
+            full(num_l, hidden, hidden),
+            full(num_l, 1, hidden),
+            full(num_l, hidden, hidden),
+            full(num_l, 1, hidden),
+            full(1, hidden),
+            full(1, 1),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, seq), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_block * grid[0],
+            bytes_accessed=padded * (latents.shape[1] + seq) * 4
+            + (3 * num_l + 1) * hidden * hidden * 2,
+            transcendentals=padded * seq * hidden * num_l,
+        ),
+        interpret=interpret,
+    )(
+        latents,
+        kp.base,
+        kp.m0_w,
+        kp.m0_b,
+        kp.mh_w,
+        kp.mz_w,
+        kp.m_b,
+        kp.s_w,
+        kp.s_b,
+        kp.last_w,
+        kp.last_b,
+    )
+    return out[:batch]
+
+
+def pallas_available() -> bool:
+    """True when the default backend can compile Mosaic kernels (any TPU
+    flavor; the axon relay reports platform 'axon' but is a TPU)."""
+    dev = jax.devices()[0]
+    return dev.platform not in ("cpu", "gpu", "cuda", "rocm")
+
+
+def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
+                  interpret: bool = False, block_b: int = 8):
+    """(params, tiles) -> (B, siren, siren) forward; the fused Pallas path
+    when requested and supported, else the Flax path. Drop-in for eval/
+    reconstruction call sites (``SliceReconstructor``)."""
+    if use_pallas and (interpret or pallas_available()):
+        return functools.partial(
+            _fused_apply, model, block_b=block_b, interpret=interpret
+        )
+    return functools.partial(_flax_apply, model)
+
+
+def _flax_apply(model, params, tiles):
+    return model.apply({"params": params}, tiles, deterministic=True)
+
+
+def _fused_apply(model, params, tiles, *, block_b, interpret):
+    return fused_forward(
+        model, params, tiles, block_b=block_b, interpret=interpret
+    )
+
+
+def fused_forward(
+    model,
+    params,
+    tiles: jax.Array,
+    *,
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full flagship forward: XLA conv encoder -> fused Pallas
+    modulator+SIREN -> (B, siren, siren). Drop-in for
+    ``model.apply({'params': params}, tiles, deterministic=True)``.
+    """
+    from mri_inr_tpu.models.modulated_siren import coordinate_grid
+
+    latent = model.apply({"params": params}, tiles, method=model.encode)
+    coords = coordinate_grid(model.siren_patch_size)
+    kp = extract_kernel_params(
+        params,
+        coords,
+        num_layers=model.num_layers,
+        w0=model.w0,
+        w0_initial=model.w0_initial,
+        activation=model.activation,
+    )
+    out = fused_siren_forward(
+        kp,
+        latent.astype(jnp.float32),
+        num_layers=model.num_layers,
+        w0=model.w0,
+        activation=model.activation,
+        block_b=block_b,
+        interpret=interpret,
+    )
+    s = model.siren_patch_size
+    return out.reshape(tiles.shape[0], s, s)

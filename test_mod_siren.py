@@ -94,10 +94,10 @@ def main():
         sampler = sampler.shard(i, n)
         print(f"shard {i}/{n}: {len(sampler)} slices")
 
+    from mri_inr_tpu.ops.siren_kernel import make_apply_fn
+
     reconstructor = SliceReconstructor(
-        lambda params, patches: model.apply(
-            {"params": params}, patches, deterministic=True
-        ),
+        make_apply_fn(model, use_pallas=mcfg.use_pallas),
         outer_patch_size=mcfg.outer_patch_size,
         inner_patch_size=mcfg.inner_patch_size,
         siren_patch_size=mcfg.siren_patch_size,
