@@ -24,10 +24,13 @@ from __future__ import annotations
 
 import csv
 import pathlib
+import queue
+import threading
 from dataclasses import dataclass
 
 import numpy as np
 
+from mri_inr_tpu import native
 from mri_inr_tpu.data.preprocessing import undersample_column
 
 BLACK_PATCH_THRESHOLD = 1e-10
@@ -36,21 +39,37 @@ BLACK_PATCH_THRESHOLD = 1e-10
 def tile_image_np(
     image: np.ndarray, outer_patch_size: int, inner_patch_size: int
 ) -> tuple[np.ndarray, tuple[int, int]]:
-    """Numpy twin of :func:`mri_inr_tpu.ops.tiling.image_to_patches` for the
-    host-side data pipeline. Returns (patches (nv*nh, P, P), (nv, nh))."""
-    height, width = image.shape
-    pad = (outer_patch_size - inner_patch_size) // 2
-    vpad = (inner_patch_size - height % inner_patch_size) % inner_patch_size
-    hpad = (inner_patch_size - width % inner_patch_size) % inner_patch_size
-    padded = np.pad(image, ((pad, pad + vpad), (pad, pad + hpad)), mode="reflect")
-    windows = np.lib.stride_tricks.sliding_window_view(
-        padded, (outer_patch_size, outer_patch_size)
-    )[::inner_patch_size, ::inner_patch_size]
-    nv, nh = windows.shape[:2]
-    return windows.reshape(nv * nh, outer_patch_size, outer_patch_size).copy(), (
-        nv,
-        nh,
-    )
+    """Host-side twin of :func:`mri_inr_tpu.ops.tiling.image_to_patches`
+    (native C++/OpenMP when available, numpy otherwise — exact-equal paths,
+    see tests/test_native.py). Returns (patches (nv*nh, P, P), (nv, nh))."""
+    return native.tile_image(image, outer_patch_size, inner_patch_size)
+
+
+def prefetch_iter(iterable, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue — batch
+    assembly (gather + host->device copy setup) overlaps device compute,
+    the TPU-side equivalent of the reference's DataLoader worker processes
+    (``training.py:82-94``)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as exc:  # propagate into the consumer
+            q.put(exc)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def read_metadata(metadata_path: str | pathlib.Path) -> list[dict]:
@@ -123,7 +142,7 @@ class MRIDataset:
         self.under_tiles = np.concatenate(under)
 
         if filter_black:
-            keep = self.fully_tiles.mean(axis=(-2, -1)) >= BLACK_PATCH_THRESHOLD
+            keep = native.patch_means(self.fully_tiles) >= BLACK_PATCH_THRESHOLD
             self.fully_tiles = self.fully_tiles[keep]
             self.under_tiles = self.under_tiles[keep]
 
@@ -133,20 +152,29 @@ class MRIDataset:
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         return self.fully_tiles[idx], self.under_tiles[idx]
 
-    def batches(self, batch_size: int, seed: int, shuffle: bool = True):
+    def batches(
+        self, batch_size: int, seed: int, shuffle: bool = True, prefetch: int = 0
+    ):
         """Yield static-shape (fully, under) batches; the trailing remainder
         is wrapped around (so every batch has exactly ``batch_size`` rows and
-        the jitted step never recompiles)."""
-        n = len(self)
-        order = np.arange(n)
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        num_batches = max(1, n // batch_size)
-        for b in range(num_batches):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            if len(idx) < batch_size:
-                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
-            yield self.fully_tiles[idx], self.under_tiles[idx]
+        the jitted step never recompiles). ``prefetch > 0`` assembles batches
+        in a background thread (native gather) ``prefetch`` deep."""
+
+        def generate():
+            n = len(self)
+            order = np.arange(n)
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
+            num_batches = max(1, n // batch_size)
+            for b in range(num_batches):
+                idx = order[b * batch_size : (b + 1) * batch_size]
+                if len(idx) < batch_size:
+                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                yield native.gather_pairs(self.fully_tiles, self.under_tiles, idx)
+
+        if prefetch > 0:
+            return prefetch_iter(generate(), depth=prefetch)
+        return generate()
 
     def get_slice(self, index: int) -> SlicePair:
         row = self.rows[index % len(self.rows)]

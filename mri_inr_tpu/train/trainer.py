@@ -136,6 +136,7 @@ class Trainer:
         mesh=None,
         base_rng: jax.Array | None = None,
         log=print,
+        tensorboard: bool = False,
     ):
         self.model = model
         self.state = state
@@ -167,6 +168,13 @@ class Trainer:
         self._progress: list[dict] = []
         self._start_time = time.time()
         (self.run_dir / "snapshots").mkdir(parents=True, exist_ok=True)
+        # opt-in TensorBoard scalars, the reference's `logging` flag contract
+        # (training.py:115-119,383-387): training_loss/validation_loss per epoch
+        self._tb_writer = None
+        if tensorboard:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb_writer = SummaryWriter(log_dir=str(self.run_dir / "tensorboard"))
 
     # ------------------------------------------------------------------
     def _put(self, fully: np.ndarray, under: np.ndarray):
@@ -179,7 +187,7 @@ class Trainer:
     def _epoch_loss(self, dataset, train: bool, epoch: int) -> float:
         losses = []
         for fully, under in dataset.batches(
-            self.batch_size, seed=epoch, shuffle=train
+            self.batch_size, seed=epoch, shuffle=train, prefetch=2
         ):
             fully, under = self._put(fully, under)
             if train:
@@ -224,6 +232,10 @@ class Trainer:
             f"epoch {epoch}: train={train_loss:.6f} val={val_loss:.6f} "
             f"({secs:.2f}s)"
         )
+        if self._tb_writer is not None:
+            self._tb_writer.add_scalar("training_loss", train_loss, epoch)
+            self._tb_writer.add_scalar("validation_loss", val_loss, epoch)
+            self._tb_writer.flush()
         if (epoch + 1) % self.save_interval == 0:
             ckpt_lib.save_state(self.run_dir, int(self.state.step), self.state)
             self._render_snapshots(epoch)

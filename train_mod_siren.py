@@ -152,6 +152,7 @@ def main():
         siren_patch_size=mcfg.siren_patch_size,
         mesh=mesh,
         base_rng=jax.random.key(tcfg.seed + 1),
+        tensorboard=tcfg.logging,
     )
     if resume:
         trainer.state = ckpt_lib.restore_state(resume[0], resume[1], trainer.state)
