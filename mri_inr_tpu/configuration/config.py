@@ -54,6 +54,7 @@ class DataConfig:
     val: DataSplitConfig = field(default_factory=lambda: DataSplitConfig(num_samples=10))
     acceleration: int = 6
     center_fraction: float = 0.05
+    low_memory: bool = False  # lazy per-slice dataset instead of eager tiling
 
 
 @dataclass

@@ -188,6 +188,123 @@ class MRIDataset:
         rng = rng or np.random.default_rng()
         return self.get_slice(int(rng.integers(len(self.rows))))
 
+    def write_manifest(self, path: str | pathlib.Path) -> None:
+        """Write the data manifest of files actually used (the reference's
+        ``processed_files.txt``, ``mri_dataset.py:102-113``)."""
+        lines = [r["path_fullysampled"] for r in self.rows]
+        pathlib.Path(path).write_text("\n".join(lines) + "\n")
+
+
+class MRIDatasetLowMemory:
+    """Low-memory variant: holds only row metadata + per-slice patch counts;
+    slices are loaded, tiled and gathered per batch on demand (with a small
+    LRU over tiled slices). Capability parity with the reference's
+    ``MRIDatasetLowMemory`` (``mri_dataset.py:197-343``) minus its bugs: it
+    serves (fully, undersampled) *pairs* with the same interface as
+    :class:`MRIDataset` (the reference's returns a bare undersampled tensor
+    that crashes its own Trainer, SURVEY appendix)."""
+
+    def __init__(
+        self,
+        metadata_path: str | pathlib.Path,
+        center_fraction: float = 0.05,
+        acceleration: int = 6,
+        mri_type: str | None = "Flair",
+        max_slice_num: int | None = 10,
+        num_samples: int | None = None,
+        seed: int = 31415,
+        outer_patch_size: int = 32,
+        inner_patch_size: int = 16,
+        cache_slices: int = 16,
+    ):
+        self.outer_patch_size = outer_patch_size
+        self.inner_patch_size = inner_patch_size
+        self.undersampled_col = undersample_column(center_fraction, acceleration)
+        rows = _select_rows(
+            read_metadata(metadata_path), mri_type, max_slice_num, num_samples, seed
+        )
+        if not rows:
+            raise ValueError(f"No slices selected from {metadata_path}")
+        self.rows = rows
+        self.cache_slices = cache_slices
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        # patch count per slice from metadata width/height (no file reads)
+        counts = []
+        for row in rows:
+            nv = -(-int(row["height"]) // inner_patch_size)
+            nh = -(-int(row["width"]) // inner_patch_size)
+            counts.append(nv * nh)
+        self._counts = np.asarray(counts)
+        self._offsets = np.concatenate([[0], np.cumsum(self._counts)])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def _tiles_for(self, slice_idx: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.pop(slice_idx, None)
+        if hit is None:
+            row = self.rows[slice_idx]
+            f, _ = tile_image_np(
+                np.load(row["path_fullysampled"]).astype(np.float32),
+                self.outer_patch_size, self.inner_patch_size,
+            )
+            u, _ = tile_image_np(
+                np.load(row[self.undersampled_col]).astype(np.float32),
+                self.outer_patch_size, self.inner_patch_size,
+            )
+            hit = (f, u)
+        self._cache[slice_idx] = hit  # (re)insert as most-recent
+        while len(self._cache) > self.cache_slices:
+            self._cache.pop(next(iter(self._cache)))
+        return hit
+
+    def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        slice_idx = int(np.searchsorted(self._offsets, idx, "right") - 1)
+        local = idx - int(self._offsets[slice_idx])
+        f, u = self._tiles_for(slice_idx)
+        return f[local], u[local]
+
+    def batches(
+        self, batch_size: int, seed: int, shuffle: bool = True, prefetch: int = 0
+    ):
+        """Static-shape batches like :class:`MRIDataset.batches`. Shuffling
+        is slice-major (slices shuffled, patches within a slice contiguous)
+        so each batch touches ~batch/patches_per_slice files, keeping the
+        LRU effective."""
+
+        def generate():
+            order = np.arange(len(self.rows))
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
+            buf_f, buf_u = [], []
+            have = 0
+            for slice_idx in order:
+                f, u = self._tiles_for(int(slice_idx))
+                buf_f.append(f)
+                buf_u.append(u)
+                have += f.shape[0]
+                while have >= batch_size:
+                    cat_f = np.concatenate(buf_f)
+                    cat_u = np.concatenate(buf_u)
+                    yield cat_f[:batch_size], cat_u[:batch_size]
+                    buf_f, buf_u = [cat_f[batch_size:]], [cat_u[batch_size:]]
+                    have = buf_f[0].shape[0]
+
+        if prefetch > 0:
+            return prefetch_iter(generate(), depth=prefetch)
+        return generate()
+
+    def get_slice(self, index: int) -> SlicePair:
+        row = self.rows[index % len(self.rows)]
+        return SlicePair(
+            slice_id=row["slice_id"],
+            fully_sampled=np.load(row["path_fullysampled"]).astype(np.float32),
+            undersampled=np.load(row[self.undersampled_col]).astype(np.float32),
+        )
+
+    write_manifest = MRIDataset.write_manifest
+
 
 class MRISampler:
     """Evaluation sampler: shuffles the slice list once (seed 42, like the

@@ -129,7 +129,12 @@ def _kernel(
     num_layers: int,
     w0: float,
     activation: str,
+    streams: int,
 ):
+    """One batch-block forward. ``streams=2`` splits the block's stacked
+    activation into independent row-halves and interleaves their layer
+    chains — the sine polynomial (VPU) of one stream overlaps the matmul
+    (MXU) of the other, hiding the otherwise-serialized VPU phase."""
     tb, hidden = z_ref.shape
     seq = base_ref.shape[0]
 
@@ -144,8 +149,15 @@ def _kernel(
     m = jnp.dot(z, m0w_ref[:], preferred_element_type=jnp.float32)
     m = jnp.maximum(m + m0b_ref[:], 0.0)  # (TB, H) f32
 
-    # SIREN layer 0 output (precomputed base), modulated per patch
-    x = (base_ref[:][None, :, :] * m[:, None, :]).reshape(tb * seq, hidden)
+    # SIREN layer 0 output (precomputed base), modulated per patch; activations
+    # held in bf16 (matmul input dtype) — accumulation stays f32 per matmul.
+    sub = tb // streams
+    xs = [
+        (base_ref[:][None, :, :] * m[s * sub : (s + 1) * sub, None, :])
+        .reshape(sub * seq, hidden)
+        .astype(jnp.bfloat16)
+        for s in range(streams)
+    ]
 
     for i in range(num_layers - 1):
         # next modulation: relu(concat(m, z) @ W) == relu(m@Wh + z@Wz + b)
@@ -154,20 +166,34 @@ def _kernel(
         )
         mz = jnp.dot(z, mzw_ref[i], preferred_element_type=jnp.float32)
         m = jnp.maximum(mh + mz + mb_ref[i], 0.0)
-        # SIREN hidden layer i+1 over the stacked (TB*S, H) activation
-        pre = jnp.dot(
-            x.astype(jnp.bfloat16), sw_ref[i], preferred_element_type=jnp.float32
-        )
-        x = act(pre + sb_ref[i])
-        x = (x.reshape(tb, seq, hidden) * m[:, None, :]).reshape(tb * seq, hidden)
+        # SIREN hidden layer i+1, one matmul per stream; the streams are
+        # data-independent so Mosaic overlaps stream s's activation (VPU)
+        # with stream s+1's matmul (MXU).
+        pres = [
+            jnp.dot(x, sw_ref[i], preferred_element_type=jnp.float32) for x in xs
+        ]
+        xs = [
+            (
+                act(pre + sb_ref[i]).reshape(sub, seq, hidden)
+                * m[s * sub : (s + 1) * sub, None, :]
+            )
+            .reshape(sub * seq, hidden)
+            .astype(jnp.bfloat16)
+            for s, pre in enumerate(pres)
+        ]
 
     # final projection (H -> 1) as a VPU reduction, then sine
-    pre = jnp.sum(x * lw_ref[:], axis=-1).reshape(tb, seq) + lb_ref[0, 0]
-    out_ref[:] = act(pre)
+    for s, x in enumerate(xs):
+        pre = jnp.sum(x.astype(jnp.float32) * lw_ref[:], axis=-1)
+        pre = pre.reshape(sub, seq) + lb_ref[0, 0]
+        out_ref[s * sub : (s + 1) * sub, :] = act(pre)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_layers", "w0", "activation", "block_b", "interpret")
+    jax.jit,
+    static_argnames=(
+        "num_layers", "w0", "activation", "block_b", "interpret", "streams"
+    ),
 )
 def fused_siren_forward(
     kp: SirenKernelParams,
@@ -178,13 +204,18 @@ def fused_siren_forward(
     activation: str = "sine",
     block_b: int = 8,
     interpret: bool = False,
+    streams: int = 2,
 ) -> jax.Array:
     """(B, latent) latents -> (B, S) SIREN outputs, fully fused.
 
-    B is padded to a multiple of ``block_b`` internally.
+    B is padded to a multiple of ``block_b`` internally. ``streams`` splits
+    each block into independent row groups whose layer chains interleave
+    (MXU/VPU overlap); must divide ``block_b``.
     """
     batch = latents.shape[0]
     seq, hidden = kp.base.shape
+    if block_b % streams:
+        raise ValueError(f"{streams=} must divide {block_b=}")
     padded = -(-batch // block_b) * block_b
     if padded != batch:
         latents = jnp.pad(latents, ((0, padded - batch), (0, 0)))
@@ -197,7 +228,11 @@ def fused_siren_forward(
     flops_per_block = 2 * block_b * seq * hidden * hidden * num_l
     out = pl.pallas_call(
         functools.partial(
-            _kernel, num_layers=num_layers, w0=w0, activation=activation
+            _kernel,
+            num_layers=num_layers,
+            w0=w0,
+            activation=activation,
+            streams=streams,
         ),
         out_shape=jax.ShapeDtypeStruct((padded, seq), jnp.float32),
         grid=grid,

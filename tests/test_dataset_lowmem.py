@@ -1,0 +1,58 @@
+"""Low-memory dataset parity with the eager dataset + distributed helpers."""
+
+import numpy as np
+import pytest
+
+from mri_inr_tpu.data import synthetic
+from mri_inr_tpu.data.dataset import MRIDataset, MRIDatasetLowMemory
+from mri_inr_tpu.data.preprocessing import process_files
+from mri_inr_tpu.parallel import distributed
+
+
+@pytest.fixture(scope="module")
+def metadata(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lowmem_data")
+    synthetic.write_synthetic_h5(d, num_files=2, num_slices=3, height=64, width=48)
+    return process_files(d)
+
+
+def test_items_match_eager(metadata):
+    eager = MRIDataset(metadata)
+    lazy = MRIDatasetLowMemory(metadata, cache_slices=2)
+    assert len(eager) == len(lazy)
+    for idx in [0, 1, len(eager) // 2, len(eager) - 1]:
+        ef, eu = eager[idx]
+        lf, lu = lazy[idx]
+        np.testing.assert_array_equal(ef, lf)
+        np.testing.assert_array_equal(eu, lu)
+
+
+def test_batches_static_shape_and_coverage(metadata):
+    lazy = MRIDatasetLowMemory(metadata)
+    batches = list(lazy.batches(7, seed=0))
+    assert all(f.shape == (7, 32, 32) and u.shape == (7, 32, 32)
+               for f, u in batches)
+    assert len(batches) >= len(lazy) // 7 - 1
+
+
+def test_batches_cover_same_patch_pool(metadata):
+    """Every patch served by the lazy loader exists in the eager pool."""
+    eager = MRIDataset(metadata)
+    pool = {e.tobytes() for e in eager.fully_tiles}
+    lazy = MRIDatasetLowMemory(metadata)
+    f, _ = next(iter(lazy.batches(11, seed=3)))
+    assert all(p.tobytes() in pool for p in f)
+
+
+def test_get_slice(metadata):
+    lazy = MRIDatasetLowMemory(metadata)
+    pair = lazy.get_slice(0)
+    assert pair.fully_sampled.shape == (64, 48)
+
+
+def test_distributed_single_host_noops():
+    distributed.initialize()  # must not raise on CPU single-process
+    assert distributed.is_primary()
+    assert distributed.process_count() == 1
+    distributed.sync_hosts()
+    assert distributed.all_gather_host_values({"a": 1}) == [{"a": 1}]

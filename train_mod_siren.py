@@ -34,7 +34,7 @@ def main():
 
     from mri_inr_tpu.configuration import load_train_configuration
     from mri_inr_tpu.configuration.config import save_config_yaml
-    from mri_inr_tpu.data.dataset import MRIDataset
+    from mri_inr_tpu.data.dataset import MRIDataset, MRIDatasetLowMemory
     from mri_inr_tpu.models import modulated_siren as ms
     from mri_inr_tpu.models.encoder import ConvAutoencoder
     from mri_inr_tpu.parallel import mesh as mesh_lib
@@ -63,7 +63,8 @@ def main():
     save_config_yaml(cfg, run_dir / "config.yaml")
     print(f"run dir: {run_dir}")
 
-    train_ds = MRIDataset(
+    dataset_cls = MRIDatasetLowMemory if dcfg.low_memory else MRIDataset
+    train_ds = dataset_cls(
         dcfg.train.dataset,
         center_fraction=dcfg.center_fraction,
         acceleration=dcfg.acceleration,
@@ -74,7 +75,7 @@ def main():
         outer_patch_size=mcfg.outer_patch_size,
         inner_patch_size=mcfg.inner_patch_size,
     )
-    val_ds = MRIDataset(
+    val_ds = dataset_cls(
         dcfg.val.dataset or dcfg.train.dataset,
         center_fraction=dcfg.center_fraction,
         acceleration=dcfg.acceleration,
@@ -86,6 +87,9 @@ def main():
         inner_patch_size=mcfg.inner_patch_size,
     )
     print(f"train patches: {len(train_ds)}, val patches: {len(val_ds)}")
+    # data manifest (the reference's processed_files.txt)
+    if hasattr(train_ds, "write_manifest"):
+        train_ds.write_manifest(run_dir / "processed_files.txt")
 
     model = ms.from_config(mcfg, tcfg.precision)
     state = create_train_state(
