@@ -57,18 +57,22 @@ class SliceReconstructor:
         inner_patch_size: int = 16,
         siren_patch_size: int = 24,
         patch_bucket: int = 512,
+        mesh=None,
     ):
         self.apply_fn = apply_fn
         self.outer = outer_patch_size
         self.inner = inner_patch_size
         self.siren = siren_patch_size
         self.patch_bucket = patch_bucket
+        self.mesh = mesh
         self._jitted = {}
 
     def _build(self, height: int, width: int, num_padded: int):
         outer, inner, siren = self.outer, self.inner, self.siren
         grid = tiling.grid_shape(height, width, inner)
         apply_fn = self.apply_fn
+
+        mesh = self.mesh
 
         def run(params, fully_img, under_img):
             under_patches = tiling.image_to_patches(under_img, outer, inner)
@@ -77,6 +81,14 @@ class SliceReconstructor:
             valid = tiling.classify_black_patches(under_patches)
             padded = jnp.zeros((num_padded, outer, outer), under_patches.dtype)
             padded = padded.at[:n].set(under_patches)
+            if mesh is not None:
+                # shard the padded patch batch over the data axis — the
+                # model forward fans out across the host's chips
+                from mri_inr_tpu.parallel import mesh as mesh_lib
+
+                padded = jax.lax.with_sharding_constraint(
+                    padded, mesh_lib.batch_sharding(mesh)
+                )
             pred = apply_fn(params, padded)[:n].astype(jnp.float32)
             pred = tiling.mask_black_patches(pred, valid)
             recon = tiling.patches_to_image_weighted_average(

@@ -95,13 +95,16 @@ def main():
         print(f"shard {i}/{n}: {len(sampler)} slices")
 
     from mri_inr_tpu.ops.siren_kernel import make_apply_fn
+    from mri_inr_tpu.parallel import mesh as mesh_lib
 
+    mesh = mesh_lib.make_mesh() if jax.local_device_count() > 1 else None
     reconstructor = SliceReconstructor(
         make_apply_fn(model, use_pallas=mcfg.use_pallas),
         outer_patch_size=mcfg.outer_patch_size,
         inner_patch_size=mcfg.inner_patch_size,
         siren_patch_size=mcfg.siren_patch_size,
         patch_bucket=ecfg.batch_patches,
+        mesh=mesh,
     )
 
     # visual pass

@@ -77,3 +77,31 @@ def test_batch_sharding_layout(batch):
     # each device holds batch/8 rows
     shard_shapes = {s.data.shape for s in sharded.addressable_shards}
     assert shard_shapes == {(2, 32, 32)}
+
+
+def test_sharded_slice_reconstructor_matches_single(model):
+    """Eval reconstructor with a patch-batch sharding constraint must equal
+    the unsharded run bit-for-bit."""
+    from mri_inr_tpu.eval.evaluate import SliceReconstructor
+
+    rng = np.random.default_rng(5)
+    fully = rng.uniform(size=(64, 48)).astype(np.float32)
+    under = rng.uniform(size=(64, 48)).astype(np.float32)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((2, 32, 32))
+    )["params"]
+    apply_fn = lambda p, x: model.apply({"params": p}, x, deterministic=True)
+
+    plain = SliceReconstructor(apply_fn, patch_bucket=16)
+    sharded = SliceReconstructor(
+        apply_fn, patch_bucket=16, mesh=mesh_lib.make_mesh()
+    )
+    r0 = plain(params, fully, under)
+    r1 = sharded(params, fully, under)
+    # partitioning changes fp reassociation; agreement to ~1e-6 is the
+    # deterministic envelope (measured max diff 6e-8)
+    np.testing.assert_allclose(
+        np.asarray(r0[0]), np.asarray(r1[0]), atol=1e-6
+    )
+    for k in r0[3]:
+        assert float(r0[3][k]) == pytest.approx(float(r1[3][k]), abs=1e-5)
