@@ -105,6 +105,8 @@ class TrainingConfig:
     precision: str = "bf16"  # compute dtype; params/optimizer always fp32
     data_axis_size: int | None = None  # None => all local devices
     perceptual_encoder_path: str | None = None
+    profile_dir: str | None = None  # jax.profiler trace dir (TensorBoard)
+    debug_nans: bool = False  # jax.config debug_nans (slow; for triage)
 
     def __post_init__(self):
         self.optimizer = _canon(self.optimizer, OPTIMIZERS, "optimizer")

@@ -182,11 +182,17 @@ def _kernel(
             for s, pre in enumerate(pres)
         ]
 
-    # final projection (H -> 1) as a VPU reduction, then sine
-    for s, x in enumerate(xs):
-        pre = jnp.sum(x.astype(jnp.float32) * lw_ref[:], axis=-1)
-        pre = pre.reshape(sub, seq) + lb_ref[0, 0]
-        out_ref[s * sub : (s + 1) * sub, :] = act(pre)
+    # final projection (H -> 1) as a VPU reduction, then sine; single
+    # full-block store (Mosaic rejects strided sub-block stores on the
+    # non-128-aligned 576-lane output)
+    outs = [
+        act(
+            jnp.sum(x.astype(jnp.float32) * lw_ref[:], axis=-1).reshape(sub, seq)
+            + lb_ref[0, 0]
+        )
+        for x in xs
+    ]
+    out_ref[:] = outs[0] if streams == 1 else jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(

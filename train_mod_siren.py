@@ -164,8 +164,14 @@ def main():
         initial_epoch = int(trainer.state.step) // steps_per_epoch
         print(f"restored step {resume[1]}; continuing at epoch {initial_epoch}")
 
+    if tcfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    from mri_inr_tpu.utils.profiling import device_trace
+
     trainer.initial_errors()
-    trainer.train(tcfg.epochs, initial_epoch)
+    with device_trace(tcfg.profile_dir):
+        trainer.train(tcfg.epochs, initial_epoch)
     print(f"done; final step {int(trainer.state.step)}; artifacts in {run_dir}")
 
 
