@@ -38,6 +38,7 @@ def main():
     import numpy as np
 
     from mri_inr_tpu.models.modulated_siren import ModulatedSiren
+    from mri_inr_tpu.ops import siren_kernel
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
@@ -52,10 +53,12 @@ def main():
     rng = np.random.default_rng(0)
     tiles = jnp.asarray(rng.uniform(size=(BATCH, 32, 32)).astype(np.float32))
     params = model.init(jax.random.key(0), tiles[:8])["params"]
+    # fused Pallas modulator+SIREN kernel on TPU, Flax/XLA path elsewhere
+    apply_fn = siren_kernel.make_apply_fn(model)
 
     def body(carry, i):
         x = tiles + i.astype(jnp.float32) * 1e-6  # defeat execution memoization
-        out = model.apply({"params": params}, x, deterministic=True)
+        out = apply_fn(params, x)
         return carry + out.astype(jnp.float32).mean(), None
 
     run = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0])

@@ -7,7 +7,8 @@ per-layer FiLM modulation) is, per patch, a chain of small matmuls over a
 activation in HBM between layers — at B=4096 that is ~1.2 GB per layer
 crossing, which makes the chain HBM-bound (~19 GB of traffic vs ~8 ms of
 MXU work). This kernel keeps the whole chain VMEM-resident: it reads only
-the (B, 256) latents + weights and writes the (B, 576) outputs.
+the (L, B, 256) precomputed modulations + weights and writes the (B, 576)
+outputs.
 
 Structure exploited:
 - The first SIREN layer ``sin(w0_init*(coords @ W0 + b0))`` is
@@ -16,8 +17,13 @@ Structure exploited:
 - FiLM modulation ``x *= mod[b]`` is a per-row-block column scaling, so the
   per-patch (S, H) @ (H, H) matmuls stack into one (TB*S, H) @ (H, H)
   MXU-friendly matmul per layer per batch-block.
-- The modulator's ``concat([h, z]) @ W`` is split as ``h @ Wh + z @ Wz``
-  (no concat needed).
+- The modulator MLP runs OUTSIDE the kernel (:func:`compute_modulations`)
+  as full-batch XLA matmuls: inside a batch-block its (TB, H) @ (H, H)
+  matmuls would occupy the MXU at TB/128 efficiency and serialize the
+  layer chain (mod_i depends on mod_{i-1}); hoisted, they are one
+  MXU-saturating (B, H) @ (H, H) per layer and the kernel's layers have
+  no cross-layer scalar dependency beyond the activation itself. The
+  ``concat([h, z]) @ W`` is split as ``h @ Wh + z @ Wz`` (no concat).
 - Sine uses the same degree-9 polynomial as ``ops/fast_math.fast_sin``
   (|err| <= 5.9e-6), which the VPU overlaps with MXU work.
 
@@ -112,14 +118,37 @@ def extract_kernel_params(
     )
 
 
+def compute_modulations(
+    kp: SirenKernelParams, latents: jax.Array, *, num_layers: int = 5
+) -> jax.Array:
+    """(B, latent) -> (L, B, H) f32 FiLM modulations.
+
+    The modulator MLP runs here, OUTSIDE the Pallas kernel, as full-batch
+    XLA matmuls: inside a batch-block its (TB, H) @ (H, H) matmuls would
+    occupy the MXU at TB/128 efficiency and serialize the layer chain
+    (mod_i depends on mod_{i-1}); hoisted, each layer is one
+    MXU-saturating (B, H) @ (H, H) and the kernel's layers keep no
+    cross-layer dependency beyond the activation itself.
+    relu(concat(m, z) @ W) == relu(m@Wh + z@Wz + b) — no concat needed.
+    """
+    z = latents.astype(jnp.bfloat16)
+    m = jnp.dot(z, kp.m0_w, preferred_element_type=jnp.float32)
+    m = jnp.maximum(m + kp.m0_b, 0.0)
+    mods = [m]
+    for i in range(num_layers - 1):
+        mh = jnp.dot(
+            m.astype(jnp.bfloat16), kp.mh_w[i], preferred_element_type=jnp.float32
+        )
+        mz = jnp.dot(z, kp.mz_w[i], preferred_element_type=jnp.float32)
+        m = jnp.maximum(mh + mz + kp.m_b[i], 0.0)
+        mods.append(m)
+    # (B, L*H): one contiguous lane-aligned DMA per batch-block in the kernel
+    return jnp.concatenate(mods, axis=1)
+
+
 def _kernel(
-    z_ref,
+    mods_ref,
     base_ref,
-    m0w_ref,
-    m0b_ref,
-    mhw_ref,
-    mzw_ref,
-    mb_ref,
     sw_ref,
     sb_ref,
     lw_ref,
@@ -131,41 +160,41 @@ def _kernel(
     activation: str,
     streams: int,
 ):
-    """One batch-block forward. ``streams=2`` splits the block's stacked
-    activation into independent row-halves and interleaves their layer
-    chains — the sine polynomial (VPU) of one stream overlaps the matmul
-    (MXU) of the other, hiding the otherwise-serialized VPU phase."""
-    tb, hidden = z_ref.shape
-    seq = base_ref.shape[0]
+    """One batch-block forward over precomputed modulations. ``streams=2``
+    splits the block's stacked activation into independent row-halves and
+    interleaves their layer chains — the sine polynomial (VPU) of one
+    stream overlaps the matmul (MXU) of the other, hiding the
+    otherwise-serialized VPU phase."""
+    tb = mods_ref.shape[0]
+    seq, hidden = base_ref.shape
 
     def act(pre):
-        out = _poly_sin(w0 * pre)
+        out = _poly_sin(pre if w0 == 1.0 else w0 * pre)
         if activation == "morlet":
             out = out * jnp.exp(-0.5 * jnp.square(pre))
         return out
 
-    z = z_ref[:].astype(jnp.bfloat16)
-    # modulator layer 0
-    m = jnp.dot(z, m0w_ref[:], preferred_element_type=jnp.float32)
-    m = jnp.maximum(m + m0b_ref[:], 0.0)  # (TB, H) f32
-
     # SIREN layer 0 output (precomputed base), modulated per patch; activations
     # held in bf16 (matmul input dtype) — accumulation stays f32 per matmul.
+    # Mixed slice+newaxis indexing lowers to a gather Mosaic rejects, so
+    # stream rows are cut with lax.slice_in_dim and broadcast via reshape.
     sub = tb // streams
+
+    def mod_rows(layer, s):
+        rows = jax.lax.slice(
+            mods_ref[:],
+            (s * sub, layer * hidden),
+            ((s + 1) * sub, (layer + 1) * hidden),
+        )
+        return rows.reshape(sub, 1, hidden)
+
+    base = base_ref[:].reshape(1, seq, hidden)
     xs = [
-        (base_ref[:][None, :, :] * m[s * sub : (s + 1) * sub, None, :])
-        .reshape(sub * seq, hidden)
-        .astype(jnp.bfloat16)
+        (base * mod_rows(0, s)).reshape(sub * seq, hidden).astype(jnp.bfloat16)
         for s in range(streams)
     ]
 
     for i in range(num_layers - 1):
-        # next modulation: relu(concat(m, z) @ W) == relu(m@Wh + z@Wz + b)
-        mh = jnp.dot(
-            m.astype(jnp.bfloat16), mhw_ref[i], preferred_element_type=jnp.float32
-        )
-        mz = jnp.dot(z, mzw_ref[i], preferred_element_type=jnp.float32)
-        m = jnp.maximum(mh + mz + mb_ref[i], 0.0)
         # SIREN hidden layer i+1, one matmul per stream; the streams are
         # data-independent so Mosaic overlaps stream s's activation (VPU)
         # with stream s+1's matmul (MXU).
@@ -173,10 +202,7 @@ def _kernel(
             jnp.dot(x, sw_ref[i], preferred_element_type=jnp.float32) for x in xs
         ]
         xs = [
-            (
-                act(pre + sb_ref[i]).reshape(sub, seq, hidden)
-                * m[s * sub : (s + 1) * sub, None, :]
-            )
+            (act(pre + sb_ref[i]).reshape(sub, seq, hidden) * mod_rows(i + 1, s))
             .reshape(sub * seq, hidden)
             .astype(jnp.bfloat16)
             for s, pre in enumerate(pres)
@@ -210,13 +236,15 @@ def fused_siren_forward(
     activation: str = "sine",
     block_b: int = 8,
     interpret: bool = False,
-    streams: int = 2,
+    streams: int = 1,
 ) -> jax.Array:
     """(B, latent) latents -> (B, S) SIREN outputs, fully fused.
 
     B is padded to a multiple of ``block_b`` internally. ``streams`` splits
-    each block into independent row groups whose layer chains interleave
-    (MXU/VPU overlap); must divide ``block_b``.
+    each block into independent row groups whose layer chains interleave;
+    must divide ``block_b``. Measured on v5e the single-stream schedule is
+    fastest (Mosaic does not co-issue the streams' MXU/VPU phases), so 1
+    is the default; the knob is kept for other TPU generations.
     """
     batch = latents.shape[0]
     seq, hidden = kp.base.shape
@@ -225,6 +253,9 @@ def fused_siren_forward(
     padded = -(-batch // block_b) * block_b
     if padded != batch:
         latents = jnp.pad(latents, ((0, padded - batch), (0, 0)))
+
+    # modulator MLP outside the kernel: full-batch MXU-saturating matmuls
+    mods = compute_modulations(kp, latents, num_layers=num_layers)
 
     grid = (padded // block_b,)
     full = lambda *shape: pl.BlockSpec(
@@ -243,14 +274,9 @@ def fused_siren_forward(
         out_shape=jax.ShapeDtypeStruct((padded, seq), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, latents.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((block_b, num_layers * hidden), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             full(seq, hidden),
-            full(hidden, hidden),
-            full(1, hidden),
-            full(num_l, hidden, hidden),
-            full(num_l, hidden, hidden),
-            full(num_l, 1, hidden),
             full(num_l, hidden, hidden),
             full(num_l, 1, hidden),
             full(1, hidden),
@@ -261,19 +287,14 @@ def fused_siren_forward(
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_block * grid[0],
-            bytes_accessed=padded * (latents.shape[1] + seq) * 4
-            + (3 * num_l + 1) * hidden * hidden * 2,
+            bytes_accessed=padded * (num_layers * hidden + seq) * 4
+            + num_l * hidden * hidden * 2,
             transcendentals=padded * seq * hidden * num_l,
         ),
         interpret=interpret,
     )(
-        latents,
+        mods,
         kp.base,
-        kp.m0_w,
-        kp.m0_b,
-        kp.mh_w,
-        kp.mz_w,
-        kp.m_b,
         kp.s_w,
         kp.s_b,
         kp.last_w,
