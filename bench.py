@@ -8,9 +8,11 @@ Prints ONE JSON line:
 Methodology: the timed region is a single jitted ``lax.scan`` that runs the
 full flagship forward (conv encoder -> modulator -> 5-layer modulated SIREN
 -> 24x24 output) ITERS times with a per-iteration input perturbation.
-One dispatch total, so per-call host/relay latency is excluded AND
-identical-execution memoization by the axon relay (observed: repeated
-same-input calls return in ~0.1 ms) cannot fake the number.
+One dispatch total, so per-call host/relay latency is amortized (the axon
+relay has a measured ~23.5 ms fixed round-trip per dispatch — ITERS=100
+keeps it under 3% of the total) AND identical-execution memoization by
+the relay (observed: repeated same-input calls return in ~0.1 ms) cannot
+fake the number.
 
 ``vs_baseline`` is the ratio to an analytic estimate of the reference
 PyTorch implementation on an A100 (the reference publishes no throughput
@@ -27,7 +29,7 @@ import time
 
 A100_BASELINE_PIXELS_PER_SEC = 1.0e8
 BATCH = 4096
-ITERS = 10
+ITERS = 100
 SIREN = 24
 FLOPS_PER_PATCH = 3.77e8
 

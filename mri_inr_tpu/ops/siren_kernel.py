@@ -343,6 +343,10 @@ def fused_forward(
     """Full flagship forward: XLA conv encoder -> fused Pallas
     modulator+SIREN -> (B, siren, siren). Drop-in for
     ``model.apply({'params': params}, tiles, deterministic=True)``.
+
+    (The conv encoder stays on the XLA path: measured with the relay's
+    ~23.5 ms fixed round-trip subtracted it costs <=0.3 ms per 4096-patch
+    batch; dense-GEMM and im2col reformulations both measured slower.)
     """
     from mri_inr_tpu.models.modulated_siren import coordinate_grid
 
