@@ -303,6 +303,193 @@ def fused_siren_forward(
     return out[:batch]
 
 
+class Int8SirenParams(NamedTuple):
+    """Weights repacked for the int8 MXU kernel (v5e: 394 int8 TOP/s vs
+    197 bf16 TF/s). Weights are per-output-channel symmetric int8; the
+    per-patch activation scales are dynamic, derived from the modulations
+    (see :func:`compute_quant_factors`)."""
+
+    base: jax.Array  # (S, H) f32: sin(w0_init * (coords @ W0 + b0))
+    swq: jax.Array  # (L-1, H, H) int8: quantized SIREN hidden weights
+    sw_scale: jax.Array  # (L-1, 1, H) f32: per-output-channel dequant scale
+    s_b: jax.Array  # (L-1, 1, H) f32
+    last_w: jax.Array  # (1, H) f32
+    last_b: jax.Array  # (1, 1) f32
+
+
+def quantize_kernel_params(
+    params, kp: SirenKernelParams, *, num_layers: int = 5
+) -> Int8SirenParams:
+    """Per-output-channel symmetric int8 quantization of the SIREN hidden
+    weights, from the f32 Flax params (not the bf16 copies in ``kp``)."""
+    net = params["net"]
+    w = jnp.stack(
+        [net[f"layer_{i}"]["kernel"] for i in range(1, num_layers)]
+    ).astype(jnp.float32)  # (L-1, H, H): (in, out) per layer
+    scale = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0  # (L-1, 1, H)
+    swq = jnp.round(w / scale).astype(jnp.int8)
+    return Int8SirenParams(kp.base, swq, scale, kp.s_b, kp.last_w, kp.last_b)
+
+
+def compute_quant_factors(
+    kp: SirenKernelParams,
+    ikp: Int8SirenParams,
+    latents: jax.Array,
+    *,
+    num_layers: int = 5,
+):
+    """Per-patch dynamic activation quantization, folded into the
+    modulations so the kernel pays no extra reduction:
+
+    The layer-i matmul input is ``x = sin(pre) * m_i[b]`` with |sin| <= 1
+    and m_i >= 0 (ReLU), so ``max|x| <= max_h m_i[b,h]`` exactly. With
+    scale_i[b] = max_h m_i[b,h] / 127:
+      fq_i[b,h] = m_i[b,h] / scale_i[b]   (quant: x_q = round(sin * fq))
+      gd_i[b,h'] = scale_i[b] * sw_scale_i[h']  (dequant of the int32 acc)
+      ls[b] = scale_{L-1}[b]              (final-layer dequant)
+
+    Returns (fq (B, L*H), gd (B, (L-1)*H), ls (B, 128) — ls is
+    lane-broadcast for a tile-aligned block DMA).
+    """
+    mods = compute_modulations(kp, latents, num_layers=num_layers)
+    batch = mods.shape[0]
+    hidden = ikp.base.shape[1]
+    m = mods.reshape(batch, num_layers, hidden)
+    scale = jnp.maximum(jnp.max(m, axis=2), 1e-12) / 127.0  # (B, L)
+    fq = (m / scale[:, :, None]).reshape(batch, num_layers * hidden)
+    gd = scale[:, : num_layers - 1, None] * ikp.sw_scale[:, 0, :][None]
+    gd = gd.reshape(batch, (num_layers - 1) * hidden)
+    ls = jnp.broadcast_to(scale[:, num_layers - 1 :], (batch, 128))
+    return fq, gd, ls
+
+
+def _kernel_int8(
+    fq_ref,
+    gd_ref,
+    ls_ref,
+    base_ref,
+    swq_ref,
+    sb_ref,
+    lw_ref,
+    lb_ref,
+    out_ref,
+    *,
+    num_layers: int,
+    w0: float,
+    activation: str,
+):
+    """One batch-block forward with int8 matmuls (int32 accumulation) and
+    f32 activations. Quant/dequant are single broadcast multiplies thanks
+    to the factors precomputed by :func:`compute_quant_factors`."""
+    tb = fq_ref.shape[0]
+    seq, hidden = base_ref.shape
+
+    def act(pre):
+        out = _poly_sin(pre if w0 == 1.0 else w0 * pre)
+        if activation == "morlet":
+            out = out * jnp.exp(-0.5 * jnp.square(pre))
+        return out
+
+    def rows(ref, layer):  # (tb, 1, hidden) per-patch factor slice
+        r = jax.lax.slice(
+            ref[:], (0, layer * hidden), (tb, (layer + 1) * hidden)
+        )
+        return r.reshape(tb, 1, hidden)
+
+    def quantize(s3, layer):  # f32 (tb, seq, hidden) -> int8 (tb*seq, hidden)
+        q = jnp.floor(s3 * rows(fq_ref, layer) + 0.5)
+        return q.reshape(tb * seq, hidden).astype(jnp.int8)
+
+    base = base_ref[:].reshape(1, seq, hidden)
+    xq = quantize(jnp.broadcast_to(base, (tb, seq, hidden)), 0)
+
+    s3 = None
+    for i in range(num_layers - 1):
+        acc = jnp.dot(xq, swq_ref[i], preferred_element_type=jnp.int32)
+        pre = (
+            acc.astype(jnp.float32).reshape(tb, seq, hidden) * rows(gd_ref, i)
+            + sb_ref[i].reshape(1, 1, hidden)
+        )
+        s3 = act(pre)
+        if i < num_layers - 2:
+            xq = quantize(s3, i + 1)
+
+    # final layer: x = s * m_{L-1} = (s * fq_{L-1}) * ls; reduce H -> 1 on
+    # the VPU, rescale per patch, then the output sine
+    xlast = s3 * rows(fq_ref, num_layers - 1)
+    r = jnp.sum(xlast * lw_ref[:].reshape(1, 1, hidden), axis=-1)  # (tb, seq)
+    ls = jax.lax.slice(ls_ref[:], (0, 0), (tb, 1))  # (tb, 1)
+    out_ref[:] = act(r * ls + lb_ref[0, 0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_layers", "w0", "activation", "block_b", "interpret"),
+)
+def fused_siren_forward_int8(
+    kp: SirenKernelParams,
+    ikp: Int8SirenParams,
+    latents: jax.Array,
+    *,
+    num_layers: int = 5,
+    w0: float = 1.0,
+    activation: str = "sine",
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, latent) latents -> (B, S) SIREN outputs via int8 MXU matmuls.
+
+    Quantization noise is ~1e-4 RMS (max ~5e-4 vs the f32 Flax path) —
+    below bf16 resolution, so metrics are unaffected. NOT the default:
+    on the current chip the fused kernel is VPU-bound on the sine
+    polynomial, so halving MXU cost does not pay for the extra per-layer
+    quantize rounds (measured 18.8 ms vs 11.0 ms bf16 at B=4096). Use on
+    hardware with a higher int8:bf16 MXU ratio, or for large ``hidden``
+    where the 4x-smaller resident weights relieve VMEM pressure."""
+    batch = latents.shape[0]
+    seq, hidden = kp.base.shape
+    padded = -(-batch // block_b) * block_b
+    if padded != batch:
+        latents = jnp.pad(latents, ((0, padded - batch), (0, 0)))
+
+    fq, gd, ls = compute_quant_factors(kp, ikp, latents, num_layers=num_layers)
+
+    grid = (padded // block_b,)
+    full = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    row_block = lambda width: pl.BlockSpec(
+        (block_b, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    num_l = num_layers - 1
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_int8, num_layers=num_layers, w0=w0, activation=activation
+        ),
+        out_shape=jax.ShapeDtypeStruct((padded, seq), jnp.float32),
+        grid=grid,
+        in_specs=[
+            row_block(num_layers * hidden),
+            row_block(num_l * hidden),
+            row_block(128),
+            full(seq, hidden),
+            full(num_l, hidden, hidden),
+            full(num_l, 1, hidden),
+            full(1, hidden),
+            full(1, 1),
+        ],
+        out_specs=row_block(seq),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * padded * seq * hidden * hidden * num_l,
+            bytes_accessed=padded * (2 * num_layers * hidden + seq) * 4
+            + num_l * hidden * hidden,
+            transcendentals=padded * seq * hidden * num_l,
+        ),
+        interpret=interpret,
+    )(fq, gd, ls, ikp.base, ikp.swq, ikp.s_b, ikp.last_w, ikp.last_b)
+    return out[:batch]
+
+
 def pallas_available() -> bool:
     """True when the default backend can compile Mosaic kernels (any TPU
     flavor; the axon relay reports platform 'axon' but is a TPU)."""
@@ -311,13 +498,16 @@ def pallas_available() -> bool:
 
 
 def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
-                  interpret: bool = False, block_b: int = 8):
+                  interpret: bool = False, block_b: int = 8,
+                  quantized: bool = False):
     """(params, tiles) -> (B, siren, siren) forward; the fused Pallas path
     when requested and supported, else the Flax path. Drop-in for eval/
-    reconstruction call sites (``SliceReconstructor``)."""
+    reconstruction call sites (``SliceReconstructor``). ``quantized``
+    selects the int8-MXU kernel (eval speed mode)."""
     if use_pallas and (interpret or pallas_available()):
         return functools.partial(
-            _fused_apply, model, block_b=block_b, interpret=interpret
+            _fused_apply, model, block_b=block_b, interpret=interpret,
+            quantized=quantized,
         )
     return functools.partial(_flax_apply, model)
 
@@ -326,9 +516,10 @@ def _flax_apply(model, params, tiles):
     return model.apply({"params": params}, tiles, deterministic=True)
 
 
-def _fused_apply(model, params, tiles, *, block_b, interpret):
+def _fused_apply(model, params, tiles, *, block_b, interpret, quantized=False):
     return fused_forward(
-        model, params, tiles, block_b=block_b, interpret=interpret
+        model, params, tiles, block_b=block_b, interpret=interpret,
+        quantized=quantized,
     )
 
 
@@ -339,6 +530,7 @@ def fused_forward(
     *,
     block_b: int = 8,
     interpret: bool = False,
+    quantized: bool = False,
 ) -> jax.Array:
     """Full flagship forward: XLA conv encoder -> fused Pallas
     modulator+SIREN -> (B, siren, siren). Drop-in for
@@ -360,14 +552,19 @@ def fused_forward(
         w0_initial=model.w0_initial,
         activation=model.activation,
     )
-    out = fused_siren_forward(
-        kp,
-        latent.astype(jnp.float32),
+    common = dict(
         num_layers=model.num_layers,
         w0=model.w0,
         activation=model.activation,
         block_b=block_b,
         interpret=interpret,
     )
+    if quantized:
+        ikp = quantize_kernel_params(params, kp, num_layers=model.num_layers)
+        out = fused_siren_forward_int8(
+            kp, ikp, latent.astype(jnp.float32), **common
+        )
+    else:
+        out = fused_siren_forward(kp, latent.astype(jnp.float32), **common)
     s = model.siren_patch_size
     return out.reshape(tiles.shape[0], s, s)

@@ -83,3 +83,29 @@ def test_extract_kernel_params_shapes(setup):
     assert kp.mz_w.shape == (4, 256, 256)
     assert kp.s_w.shape == (4, 256, 256)
     assert kp.last_w.shape == (1, 256)
+
+
+def test_int8_matches_flax(setup):
+    """int8 MXU path: quantization noise well below bf16 resolution."""
+    model, params, tiles = setup
+    ref = model.apply({"params": params}, tiles, deterministic=True)
+    out = siren_kernel.fused_forward(
+        model, params, tiles, interpret=True, quantized=True
+    )
+    assert out.shape == ref.shape
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.max() < 5e-3
+    assert np.sqrt((err**2).mean()) < 1e-3
+
+
+def test_int8_batch_padding(setup):
+    model, params, tiles = setup
+    out_full = siren_kernel.fused_forward(
+        model, params, tiles, block_b=4, interpret=True, quantized=True
+    )
+    out_small = siren_kernel.fused_forward(
+        model, params, tiles[:5], block_b=4, interpret=True, quantized=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_small), np.asarray(out_full[:5]), atol=1e-6
+    )
