@@ -77,6 +77,7 @@ class ModelConfig:
     inner_patch_size: int = 16
     siren_patch_size: int = 24
     activation: str = "sine"
+    residual: bool = False  # residual-MLP ablation (README.md:27,41)
     use_pallas: bool = True  # fused Pallas SIREN kernel on TPU
 
     def __post_init__(self):

@@ -53,6 +53,7 @@ class ModulatedSiren(nn.Module):
     inner_patch_size: int = 16
     siren_patch_size: int = 24
     activation: str = "sine"
+    residual: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     exact_sine: bool = False
 
@@ -66,6 +67,7 @@ class ModulatedSiren(nn.Module):
             use_bias=self.use_bias,
             dropout=self.dropout,
             activation=self.activation,
+            residual=self.residual,
             compute_dtype=self.compute_dtype,
             exact_sine=self.exact_sine,
         )
@@ -119,5 +121,6 @@ def from_config(model_cfg, precision: str = "fp32") -> ModulatedSiren:
         inner_patch_size=model_cfg.inner_patch_size,
         siren_patch_size=model_cfg.siren_patch_size,
         activation=model_cfg.activation,
+        residual=getattr(model_cfg, "residual", False),
         compute_dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
     )

@@ -82,7 +82,15 @@ class SirenLayer(nn.Module):
 
 
 class SirenNet(nn.Module):
-    """Stack of modulated SIREN layers + unmodulated sine output layer."""
+    """Stack of modulated SIREN layers + unmodulated sine output layer.
+
+    ``residual=True`` is the reference's residual-MLP ablation
+    (``README.md:27,41`` — the code lives on its unreleased
+    ``residual-connections`` branch, so the wiring here is our own design):
+    every hidden layer after the first adds a skip connection around the
+    modulated sine block, ``x = x + mod_i * sin(W_i x + b_i)``, which keeps
+    deep stacks (the ablation pairs depth up with latent dim down) trainable.
+    """
 
     dim_hidden: int = 256
     dim_out: int = 1
@@ -92,6 +100,7 @@ class SirenNet(nn.Module):
     use_bias: bool = True
     dropout: float = 0.1
     activation: str = "sine"
+    residual: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     exact_sine: bool = False
 
@@ -108,7 +117,7 @@ class SirenNet(nn.Module):
         """
         x = coords
         for i in range(self.num_layers):
-            x = SirenLayer(
+            h = SirenLayer(
                 features=self.dim_hidden,
                 w0=self.w0_initial if i == 0 else self.w0,
                 is_first=i == 0,
@@ -120,7 +129,8 @@ class SirenNet(nn.Module):
                 name=f"layer_{i}",
             )(x, deterministic=deterministic)
             if mods is not None:
-                x = x * mods[i][:, None, :].astype(x.dtype)
+                h = h * mods[i][:, None, :].astype(h.dtype)
+            x = x + h if (self.residual and i > 0) else h
         out = SirenLayer(
             features=self.dim_out,
             w0=self.w0,

@@ -503,7 +503,10 @@ def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
     """(params, tiles) -> (B, siren, siren) forward; the fused Pallas path
     when requested and supported, else the Flax path. Drop-in for eval/
     reconstruction call sites (``SliceReconstructor``). ``quantized``
-    selects the int8-MXU kernel (eval speed mode)."""
+    selects the int8-MXU kernel (eval speed mode). Residual-MLP models
+    (``model.residual``) are not fused — they take the Flax path."""
+    if getattr(model, "residual", False):
+        use_pallas = False
     if use_pallas and (interpret or pallas_available()):
         return functools.partial(
             _fused_apply, model, block_b=block_b, interpret=interpret,
