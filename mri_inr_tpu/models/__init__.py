@@ -6,6 +6,12 @@ from mri_inr_tpu.models.encoder import (
     VGGEncoder,
 )
 from mri_inr_tpu.models.modulated_siren import ModulatedSiren
+from mri_inr_tpu.models.perceptual import (
+    PerceptualAutoencoderV1,
+    PerceptualAutoencoderV2,
+    PerceptualEncoderV1,
+    PerceptualEncoderV2,
+)
 
 __all__ = [
     "Modulator",
@@ -16,4 +22,8 @@ __all__ = [
     "LatentEncoder",
     "VGGEncoder",
     "ModulatedSiren",
+    "PerceptualAutoencoderV1",
+    "PerceptualAutoencoderV2",
+    "PerceptualEncoderV1",
+    "PerceptualEncoderV2",
 ]

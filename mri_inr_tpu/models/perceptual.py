@@ -103,3 +103,52 @@ class PerceptualAutoencoderV2(nn.Module):
 
     def encode(self, images: jax.Array) -> jax.Array:
         return self.encoder(images, train=False)
+
+
+class PerceptualEncoderV1(nn.Module):
+    """(B, 24, 24) -> (B, 256) 3-stage feature extractor (reference
+    ``Encoder_v1`` / the encoder half of ``Autoencoder_v1``,
+    ``perceptual_encoder.py:155-204,368-394``): three conv stages down to
+    3x3, then FC 512 -> 256."""
+
+    img_size: int = 24
+    latent_dim: int = 256
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        x = images.astype(self.compute_dtype)[..., None]
+        x = EncoderBlock(64, self.compute_dtype, name="block_0")(x, train)
+        x = EncoderBlock(128, self.compute_dtype, name="block_1")(x, train)
+        x = EncoderBlock(256, self.compute_dtype, name="block_2")(x, train)
+        x = x.reshape(x.shape[0], -1)
+        x = FullyConnectedBlock(512, self.compute_dtype,
+                                name="fc_block_0")(x, train)
+        return FullyConnectedBlock(self.latent_dim, self.compute_dtype,
+                                   name="fc_block_1")(x, train)
+
+
+class PerceptualAutoencoderV1(nn.Module):
+    """3-stage 24x24 reconstruction AE (reference ``Autoencoder_v1``)."""
+
+    img_size: int = 24
+    latent_dim: int = 256
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        z = PerceptualEncoderV1(
+            self.img_size, self.latent_dim, self.compute_dtype,
+            name="encoder",
+        )(images, train)
+        m = self.img_size // 8
+        x = FullyConnectedBlock(512, self.compute_dtype,
+                                name="dec_fc_0")(z, train)
+        x = FullyConnectedBlock(256 * m * m, self.compute_dtype,
+                                name="dec_fc_1")(x, train)
+        x = x.reshape(x.shape[0], m, m, 256)
+        x = DecoderBlock(128, self.compute_dtype, name="dec_block_0")(x, train)
+        x = DecoderBlock(64, self.compute_dtype, name="dec_block_1")(x, train)
+        x = DecoderBlock(1, self.compute_dtype, name="dec_block_2")(x, train)
+        x = nn.sigmoid(x)
+        return x[..., 0]

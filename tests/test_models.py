@@ -194,3 +194,23 @@ def test_residual_modulated_siren_end_to_end():
     out = model.apply({"params": params}, tiles, deterministic=True)
     assert out.shape == (3, 24, 24)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_perceptual_v1_roundtrip_shapes():
+    """3-stage perceptual AE (reference Autoencoder_v1/Encoder_v1,
+    perceptual_encoder.py:155-204,368-394)."""
+    from mri_inr_tpu.models import PerceptualAutoencoderV1, PerceptualEncoderV1
+
+    imgs = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(2, 24, 24)).astype(np.float32)
+    )
+    ae = PerceptualAutoencoderV1()
+    variables = ae.init(jax.random.key(0), imgs, train=False)
+    out = ae.apply(variables, imgs, train=False)
+    assert out.shape == (2, 24, 24)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    enc = PerceptualEncoderV1()
+    zvars = enc.init(jax.random.key(0), imgs, train=False)
+    z = enc.apply(zvars, imgs, train=False)
+    assert z.shape == (2, 256)
