@@ -208,11 +208,31 @@ class Trainer:
         return train_loss, val_loss
 
     def train(self, epochs: int, initial_epoch: int = 0) -> TrainState:
-        for epoch in range(initial_epoch, epochs):
-            t0 = time.time()
-            train_loss = self._epoch_loss(self.train_dataset, train=True, epoch=epoch)
-            val_loss = self._epoch_loss(self.val_dataset, train=False, epoch=epoch)
-            self._post_epoch(epoch, train_loss, val_loss, time.time() - t0)
+        """Epoch loop. A SIGTERM (cluster preemption) finishes the current
+        epoch, saves a final checkpoint + progress log, and returns —
+        pairing with ``continue_training`` auto-resume for the reference's
+        SLURM restart contract (slurm_restart.py, at epoch granularity)."""
+        import signal
+
+        preempted = []
+        try:  # signal handlers only install from the main thread
+            prev = signal.signal(
+                signal.SIGTERM, lambda *_: preempted.append(True)
+            )
+        except ValueError:
+            prev = None
+        try:
+            for epoch in range(initial_epoch, epochs):
+                t0 = time.time()
+                train_loss = self._epoch_loss(self.train_dataset, train=True, epoch=epoch)
+                val_loss = self._epoch_loss(self.val_dataset, train=False, epoch=epoch)
+                self._post_epoch(epoch, train_loss, val_loss, time.time() - t0)
+                if preempted:
+                    self.log(f"SIGTERM: stopping after epoch {epoch}")
+                    break
+        finally:
+            if prev is not None:
+                signal.signal(signal.SIGTERM, prev)
         ckpt_lib.save_state(self.run_dir, int(self.state.step), self.state)
         self._write_progress_log()
         return self.state

@@ -142,3 +142,33 @@ def test_splice_pretrained_encoder(tiny_model):
     # model still runs with spliced params
     out = model.apply({"params": spliced}, jnp.zeros((2, 32, 32)))
     assert out.shape == (2, 24, 24)
+
+
+def test_trainer_sigterm_preemption(tmp_path, tiny_data, tiny_model):
+    """SIGTERM mid-run: finish the epoch, save a final checkpoint, return
+    (the preemption half of the SLURM restart contract)."""
+    import os
+    import signal
+
+    train, val = tiny_data
+    state = create_train_state(
+        tiny_model, jax.random.key(0), jnp.zeros((4, 32, 32)), "adam", 1e-3
+    )
+    run_dir = ckpt_lib.new_run_dir(tmp_path, "preempt")
+
+    def log(msg):
+        if str(msg).startswith("epoch 0"):
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    trainer = Trainer(
+        tiny_model, state, losses.mse, train, val, run_dir,
+        batch_size=32, save_interval=100, snapshot_slices=1, log=log,
+    )
+    trainer.train(epochs=10)
+    assert len(trainer._progress) == 1  # stopped after epoch 0
+    step = ckpt_lib.find_latest_step(run_dir)
+    assert step is not None and step > 0
+    # the old handler is restored
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler,
+    ) or callable(signal.getsignal(signal.SIGTERM))
