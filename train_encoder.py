@@ -13,6 +13,14 @@ copied). Two targets:
 Usage:
     python train_encoder.py --dataset <metadata.csv> --output <dir>
         [--model conv|perceptual] [--epochs 50] [--batch-size 256] [--lr 1e-3]
+
+Evaluation mode (the reference's ``test_autoencoder``,
+``siren_encoder.py:420-483``): reconstruct sample slices patchwise through
+a trained AE (``*_full`` checkpoint), fold back, write comparison PNGs +
+per-slice PSNR/SSIM/NRMSE:
+
+    python train_encoder.py --dataset <metadata.csv> --output <dir>
+        [--model ...] --evaluate <..._full ckpt> [--num-samples 3]
 """
 
 from __future__ import annotations
@@ -31,6 +39,11 @@ def main():
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--evaluate", default=None, metavar="CKPT",
+        help="evaluate a trained *_full AE checkpoint instead of training",
+    )
+    parser.add_argument("--num-samples", type=int, default=3)
     from mri_inr_tpu.utils.platform import add_platform_arg, select_platform
 
     add_platform_arg(parser)
@@ -48,9 +61,6 @@ def main():
     from mri_inr_tpu.models.perceptual import PerceptualAutoencoderV2
     from mri_inr_tpu.ops import tiling
 
-    dataset = MRIDataset(args.dataset)
-    print(f"dataset: {len(dataset)} patches")
-
     if args.model == "conv":
         model = ConvAutoencoder(latent_dim=args.latent_dim)
         patch = 32
@@ -59,6 +69,13 @@ def main():
         model = PerceptualAutoencoderV2(latent_dim=args.latent_dim)
         patch = 24
         has_batch_stats = True
+
+    if args.evaluate:
+        _evaluate(args, model, patch, has_batch_stats)
+        return
+
+    dataset = MRIDataset(args.dataset)
+    print(f"dataset: {len(dataset)} patches")
 
     def prepare(batch_full):
         x = jnp.asarray(batch_full)
@@ -116,7 +133,65 @@ def main():
                         "batch_stats": variables["batch_stats"]["encoder"],
                     }
                     ckptr.save(path.absolute(), enc_vars, force=True)
+                # full AE variables, for --evaluate reconstruction
+                full = path.parent / f"{path.name}_full"
+                ckptr.save(full.absolute(), dict(variables), force=True)
             print(f"saved {path}")
+
+
+def _evaluate(args, model, patch: int, has_batch_stats: bool):
+    """Patchwise AE reconstruction of sample slices + fold + metrics
+    (reference ``test_autoencoder``, ``siren_encoder.py:420-483``)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from mri_inr_tpu.data.dataset import MRISampler
+    from mri_inr_tpu.eval.metrics import image_metrics
+    from mri_inr_tpu.ops import tiling
+    from mri_inr_tpu.utils.visualization import save_image_comparison
+
+    sample_x = jnp.zeros((1, patch, patch), jnp.float32)
+    abstract = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), sample_x)
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        variables = ckptr.restore(
+            pathlib.Path(args.evaluate).absolute(), abstract
+        )
+    print(f"restored {args.evaluate}")
+
+    @jax.jit
+    def recon_patches(x):
+        return model.apply(variables, x)
+
+    out_dir = pathlib.Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sampler = MRISampler(args.dataset)
+    inner = patch // 2
+    rows = []
+    for i in range(args.num_samples):
+        pair = sampler.next_sample()
+        img = jnp.asarray(pair.fully_sampled)
+        patches = tiling.image_to_patches(img, patch, inner)
+        grid = tiling.grid_shape(*img.shape, inner)
+        out = recon_patches(patches)
+        recon = tiling.patches_to_image(out, grid, patch, inner)
+        recon = recon[: img.shape[0], : img.shape[1]]
+        m = {k: float(v) for k, v in image_metrics(img, recon).items()}
+        rows.append((pair.slice_id, m))
+        print(f"{pair.slice_id}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        save_image_comparison(
+            [np.asarray(img), np.asarray(recon)],
+            ["fully_sampled", "ae_reconstruction"],
+            f"{pair.slice_id}_ae",
+            out_dir,
+        )
+    with open(out_dir / "ae_metrics.csv", "w") as f:
+        f.write("FILENAME,PSNR,SSIM,NRMSE\n")
+        for slice_id, m in rows:
+            f.write(f"{slice_id},{m['psnr']},{m['ssim']},{m['nrmse']}\n")
 
 
 if __name__ == "__main__":
