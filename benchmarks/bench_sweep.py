@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Eval-kernel schedule sweep on the real chip (block_b x streams x sine
+poly), plus a pure-MXU calibration run (activation = identity) that anchors
+the roofline argument in benchmarks/README.md.
+
+Usage: python benchmarks/bench_sweep.py [configs...]
+  config tokens: bb8.s1.sin9 | bb8.s2.sin7 | bb8.s1.ident | ...
+  default sweep: bb8.s1.sin9 bb8.s1.sin7 bb8.s2.sin7 bb16.s1.sin7 bb8.s1.ident
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mri_inr_tpu.models.modulated_siren import ModulatedSiren, coordinate_grid
+from mri_inr_tpu.ops import siren_kernel as sk
+
+BATCH, ITERS = 4096, 20
+
+model = ModulatedSiren(dim_hidden=256, latent_dim=256, num_layers=5,
+                       dropout=0.1, compute_dtype=jnp.bfloat16)
+rng = np.random.default_rng(0)
+tiles = jnp.asarray(rng.uniform(size=(BATCH, 32, 32)).astype(np.float32))
+params = model.init(jax.random.key(0), tiles[:8])["params"]
+kp = sk.extract_kernel_params(params, coordinate_grid(24))
+latents = model.apply({"params": params}, tiles, method=model.encode).astype(jnp.float32)
+latents = jax.block_until_ready(latents)
+
+
+def timed(tag, bb, streams, sin7):
+    def body(c, i):
+        out = sk.fused_siren_forward(
+            kp, latents + i * 1e-6, block_b=bb, streams=streams, sin7=sin7
+        )
+        return c + out.mean(), None
+
+    run = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0])
+    t0 = time.perf_counter()
+    jax.block_until_ready(run())
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        best = min(best, time.perf_counter() - t0)
+    ms = best / ITERS * 1e3
+    px = BATCH * 576 / (best / ITERS)
+    print(f"{tag:>16}: {ms:7.2f} ms/call  {px:.3e} px/s", flush=True)
+
+
+def main():
+    print(f"device: {jax.devices()[0]}", flush=True)
+    configs = sys.argv[1:] or [
+        "bb8.s1.sin9", "bb8.s1.sin7", "bb8.s2.sin7", "bb16.s1.sin7",
+        "bb8.s1.ident",
+    ]
+    orig_sin = sk._poly_sin
+    for tok in configs:
+        bb_s, st_s, poly = tok.split(".")
+        bb, st = int(bb_s[2:]), int(st_s[1:])
+        if poly == "ident":
+            # pure-MXU calibration: activation becomes a no-op; result is
+            # wrong but the schedule/DMA structure is identical
+            sk._poly_sin = lambda x: x
+            try:
+                timed(tok, bb, st, sin7=False)
+            finally:
+                sk._poly_sin = orig_sin
+        else:
+            timed(tok, bb, st, sin7=(poly == "sin7"))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,10 @@ class TrainingConfig:
     perceptual_encoder_path: str | None = None
     profile_dir: str | None = None  # jax.profiler trace dir (TensorBoard)
     debug_nans: bool = False  # jax.config debug_nans (slow; for triage)
+    device_data: bool = False  # HBM-resident tiles + one lax.scan per epoch
+    # fused Pallas fwd+bwd training kernels (ops/siren_train_kernel). None =
+    # follow model.use_pallas on TPU; the Flax autodiff path otherwise.
+    use_pallas: bool | None = None
 
     def __post_init__(self):
         self.optimizer = _canon(self.optimizer, OPTIMIZERS, "optimizer")

@@ -308,7 +308,12 @@ class MRIDatasetLowMemory:
 
 class MRISampler:
     """Evaluation sampler: shuffles the slice list once (seed 42, like the
-    reference) then serves full slices sequentially."""
+    reference) then serves full slices sequentially.
+
+    ``test_files``: optional explicit file selection for the visual pass —
+    keeps only slices whose ``stem`` or ``slice_id`` is listed (the
+    reference's ``config.data.test_files`` -> ``MRISampler`` path,
+    ``test_mod_siren.py:124-128`` / ``mri_sampler.py:15-45``)."""
 
     def __init__(
         self,
@@ -319,11 +324,19 @@ class MRISampler:
         max_slice_num: int | None = 10,
         num_samples: int | None = None,
         seed: int = 42,
+        test_files: list[str] | None = None,
     ):
         self.undersampled_col = undersample_column(center_fraction, acceleration)
         rows = _select_rows(
             read_metadata(metadata_path), mri_type, max_slice_num, None, seed
         )
+        if test_files:
+            wanted = set(test_files)
+            rows = [
+                r
+                for r in rows
+                if r.get("stem") in wanted or r.get("slice_id") in wanted
+            ]
         if not rows:
             raise ValueError(f"No slices selected from {metadata_path}")
         rng = np.random.default_rng(seed)

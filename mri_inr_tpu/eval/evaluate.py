@@ -73,6 +73,23 @@ class SliceReconstructor:
         apply_fn = self.apply_fn
 
         mesh = self.mesh
+        if mesh is not None:
+            # shard the padded patch batch over the data axis via shard_map:
+            # each device runs apply_fn on its local rows. (A pallas_call
+            # under a plain with_sharding_constraint would make XLA gather
+            # the batch onto one device — shard_map keeps it distributed
+            # for both the Flax and the fused-kernel apply_fn.)
+            from jax.sharding import PartitionSpec as P
+
+            sharded_apply = jax.shard_map(
+                lambda p, x: apply_fn(p, x),
+                mesh=mesh,
+                in_specs=(P(), P("data")),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+        else:
+            sharded_apply = apply_fn
 
         def run(params, fully_img, under_img):
             under_patches = tiling.image_to_patches(under_img, outer, inner)
@@ -81,15 +98,7 @@ class SliceReconstructor:
             valid = tiling.classify_black_patches(under_patches)
             padded = jnp.zeros((num_padded, outer, outer), under_patches.dtype)
             padded = padded.at[:n].set(under_patches)
-            if mesh is not None:
-                # shard the padded patch batch over the data axis — the
-                # model forward fans out across the host's chips
-                from mri_inr_tpu.parallel import mesh as mesh_lib
-
-                padded = jax.lax.with_sharding_constraint(
-                    padded, mesh_lib.batch_sharding(mesh)
-                )
-            pred = apply_fn(params, padded)[:n].astype(jnp.float32)
+            pred = sharded_apply(params, padded)[:n].astype(jnp.float32)
             pred = tiling.mask_black_patches(pred, valid)
             recon = tiling.patches_to_image_weighted_average(
                 pred, grid, siren, inner
@@ -137,6 +146,78 @@ def evaluate_files(
         )
         if progress_every and (i + 1) % progress_every == 0:
             log(f"evaluated {i + 1}/{total} slices")
+    return results
+
+
+def gather_shard_results(results: list[SliceResult]) -> list[SliceResult]:
+    """All-gather per-host eval results across processes (pod-parallel
+    sweep): every host contributes its file-shard's rows, every host
+    returns the combined list — the primary then writes the single-run
+    artifact contract. Single-process: identity.
+
+    Strings ride along as fixed-width uint8 rows; per-host counts may
+    differ, so counts are gathered first and rows padded to the max."""
+    import jax
+
+    if jax.process_count() == 1:
+        return list(results)
+    from jax.experimental import multihost_utils
+
+    width = 128
+    count = len(results)
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.int64(count))
+    ).reshape(-1)
+    max_count = int(counts.max())
+
+    ids = np.zeros((max_count, width), np.uint8)
+    vals = np.zeros((max_count, 3), np.float64)
+    for i, r in enumerate(results):
+        raw = r.slice_id.encode("utf-8")[:width]
+        ids[i, : len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+        vals[i] = (r.psnr, r.ssim, r.nrmse)
+
+    g_ids = np.asarray(multihost_utils.process_allgather(ids, tiled=False))
+    g_vals = np.asarray(multihost_utils.process_allgather(vals, tiled=False))
+    merged = []
+    for host in range(len(counts)):
+        for i in range(int(counts[host])):
+            sid = bytes(g_ids[host, i]).rstrip(b"\x00").decode("utf-8")
+            merged.append(
+                SliceResult(
+                    slice_id=sid,
+                    psnr=float(g_vals[host, i, 0]),
+                    ssim=float(g_vals[host, i, 1]),
+                    nrmse=float(g_vals[host, i, 2]),
+                )
+            )
+    return merged
+
+
+def read_metrics_csv(path: str | pathlib.Path) -> list[SliceResult]:
+    with open(path, newline="") as f:
+        return [
+            SliceResult(
+                slice_id=row["FILENAME"],
+                psnr=float(row["PSNR"]),
+                ssim=float(row["SSIM"]),
+                nrmse=float(row["NRMSE"]),
+            )
+            for row in csv.DictReader(f)
+        ]
+
+
+def merge_shard_csvs(output_dir: str | pathlib.Path) -> list[SliceResult]:
+    """Merge ``metrics_shard*/metrics_error.csv`` files written by separate
+    ``--shard i:n`` invocations into one result list (for the combined
+    single-run artifact contract)."""
+    output_dir = pathlib.Path(output_dir)
+    shard_csvs = sorted(output_dir.glob("metrics_shard*/metrics_error.csv"))
+    if not shard_csvs:
+        raise FileNotFoundError(f"no metrics_shard*/metrics_error.csv under {output_dir}")
+    results: list[SliceResult] = []
+    for p in shard_csvs:
+        results.extend(read_metrics_csv(p))
     return results
 
 

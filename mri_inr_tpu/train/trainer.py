@@ -71,29 +71,102 @@ def splice_pretrained_encoder(params, autoencoder_params):
     return params
 
 
-def make_train_step(model, loss_fn, outer: int, siren: int, mesh=None):
-    """Build the jitted (state, fully, under, rng) -> (state, loss) step."""
+def _make_forward(model, use_pallas: bool, interpret: bool):
+    """(params, under, dropout_rng) -> (B, siren, siren) train-mode forward:
+    the fused Pallas custom_vjp chain (``ops/siren_train_kernel``) when
+    requested, else the Flax autodiff path. Residual models are not fused."""
+    if use_pallas and not getattr(model, "residual", False):
+        from mri_inr_tpu.ops import siren_train_kernel as stk
 
-    def step(state: TrainState, fully: jax.Array, under: jax.Array, rng: jax.Array):
-        target = tiling.extract_center_batch(fully, outer, siren).astype(jnp.float32)
-        dropout_rng = jax.random.fold_in(rng, state.step)
-
-        def loss_of(params):
-            pred = model.apply(
-                {"params": params},
-                under,
-                deterministic=False,
-                rngs={"dropout": dropout_rng},
+        def forward(params, under, dropout_rng):
+            return stk.fused_train_apply(
+                model, params, under, dropout_rng, interpret=interpret
             )
+
+        return forward
+
+    def forward(params, under, dropout_rng):
+        return model.apply(
+            {"params": params},
+            under,
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+
+    return forward
+
+
+def make_train_step(
+    model,
+    loss_fn,
+    outer: int,
+    siren: int,
+    mesh=None,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    """Build the jitted (state, fully, under, rng) -> (state, loss) step.
+
+    ``use_pallas`` routes the fwd+bwd through the fused Pallas kernels.
+    With a mesh, the pallas path runs under ``shard_map`` (per-device local
+    batch + ``pmean`` of loss/grads) — a ``pallas_call`` under plain GSPMD
+    sharding constraints would gather the batch to one device; the Flax
+    path keeps the GSPMD formulation (XLA partitions it well)."""
+    forward = _make_forward(model, use_pallas, interpret)
+
+    def loss_and_grads(params, fully, under, dropout_rng):
+        target = tiling.extract_center_batch(fully, outer, siren).astype(jnp.float32)
+
+        def loss_of(p):
+            pred = forward(p, under, dropout_rng)
             return loss_fn(pred.astype(jnp.float32), target)
 
-        loss, grads = jax.value_and_grad(loss_of)(state.params)
-        return state.apply_gradients(grads=grads), loss
+        return jax.value_and_grad(loss_of)(params)
 
     if mesh is None:
+
+        def step(state: TrainState, fully, under, rng):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            loss, grads = loss_and_grads(state.params, fully, under, dropout_rng)
+            return state.apply_gradients(grads=grads), loss
+
         return jax.jit(step, donate_argnums=(0,))
+
     batch_sh = mesh_lib.batch_sharding(mesh)
     repl = mesh_lib.replicated_sharding(mesh)
+
+    if use_pallas and not getattr(model, "residual", False):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local_lag(params, fully, under, dropout_rng):
+            # distinct dropout stream per device shard
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index("data")
+            )
+            loss, grads = loss_and_grads(params, fully, under, dropout_rng)
+            return jax.lax.pmean(loss, "data"), jax.lax.pmean(grads, "data")
+
+        sharded_lag = shard_map(
+            local_lag,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        def step(state: TrainState, fully, under, rng):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            loss, grads = sharded_lag(state.params, fully, under, dropout_rng)
+            return state.apply_gradients(grads=grads), loss
+
+    else:
+
+        def step(state: TrainState, fully, under, rng):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            loss, grads = loss_and_grads(state.params, fully, under, dropout_rng)
+            return state.apply_gradients(grads=grads), loss
+
     return jax.jit(
         step,
         in_shardings=(repl, batch_sh, batch_sh, repl),
@@ -117,6 +190,79 @@ def make_eval_step(model, loss_fn, outer: int, siren: int, mesh=None):
     )
 
 
+def make_epoch_perm(
+    n: int, batch_size: int, seed: int, shuffle: bool
+) -> np.ndarray:
+    """(num_batches, batch_size) int32 index matrix with the exact batch
+    semantics of ``MRIDataset.batches`` (shuffled order, remainder wrapped
+    from the epoch's start) — shared by the host loop and the scan epoch."""
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    num_batches = max(1, n // batch_size)
+    batches = []
+    for b in range(num_batches):
+        idx = order[b * batch_size : (b + 1) * batch_size]
+        if len(idx) < batch_size:
+            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+        batches.append(idx)
+    return np.stack(batches).astype(np.int32)
+
+
+def make_scan_epoch(
+    model,
+    loss_fn,
+    outer: int,
+    siren: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    """One-dispatch epoch: the whole (device-resident) tile set + a
+    (num_batches, batch) permutation go in, ``lax.scan`` runs every train
+    step on-device, the new state + mean loss come out.
+
+    This is the TPU-native answer to per-batch dispatch overhead: through
+    the axon relay a dispatch costs ~23.5 ms, which at the reference's
+    batch 400 would dominate the step; scanned, the epoch is ONE dispatch.
+    Single-mesh (data fits one chip's HBM) — the pod path keeps the
+    per-batch ``make_train_step``."""
+    forward = _make_forward(model, use_pallas, interpret)
+
+    def epoch(state: TrainState, fully_all, under_all, perm, rng, train: bool):
+        def train_body(st, batch_idx):
+            fully = jnp.take(fully_all, batch_idx, axis=0)
+            under = jnp.take(under_all, batch_idx, axis=0)
+            target = tiling.extract_center_batch(fully, outer, siren).astype(
+                jnp.float32
+            )
+            dropout_rng = jax.random.fold_in(rng, st.step)
+
+            def loss_of(p):
+                pred = forward(p, under, dropout_rng)
+                return loss_fn(pred.astype(jnp.float32), target)
+
+            loss, grads = jax.value_and_grad(loss_of)(st.params)
+            return st.apply_gradients(grads=grads), loss
+
+        def eval_body(st, batch_idx):
+            fully = jnp.take(fully_all, batch_idx, axis=0)
+            under = jnp.take(under_all, batch_idx, axis=0)
+            target = tiling.extract_center_batch(fully, outer, siren).astype(
+                jnp.float32
+            )
+            pred = model.apply(
+                {"params": st.params}, under, deterministic=True
+            )
+            return st, loss_fn(pred.astype(jnp.float32), target)
+
+        state, losses = jax.lax.scan(
+            train_body if train else eval_body, state, perm
+        )
+        return state, jnp.mean(losses)
+
+    return jax.jit(epoch, static_argnums=(5,), donate_argnums=(0,))
+
+
 class Trainer:
     """Epoch loop + artifacts (checkpoints, snapshots, progress log)."""
 
@@ -137,6 +283,9 @@ class Trainer:
         base_rng: jax.Array | None = None,
         log=print,
         tensorboard: bool = False,
+        use_pallas: bool = False,
+        interpret: bool = False,
+        device_data: bool = False,
     ):
         self.model = model
         self.state = state
@@ -153,11 +302,24 @@ class Trainer:
         self.siren = siren_patch_size
 
         self.train_step = make_train_step(
-            model, loss_fn, outer_patch_size, siren_patch_size, mesh
+            model, loss_fn, outer_patch_size, siren_patch_size, mesh,
+            use_pallas=use_pallas, interpret=interpret,
         )
         self.eval_step = make_eval_step(
             model, loss_fn, outer_patch_size, siren_patch_size, mesh
         )
+        # device-resident scan epochs: load each dataset's tiles to HBM once
+        # and run the whole epoch as ONE dispatch (single-device only)
+        self.device_data = device_data and (
+            mesh is None or mesh.devices.size == 1
+        )
+        self._scan_epoch = None
+        self._dev_tiles: dict = {}
+        if self.device_data:
+            self._scan_epoch = make_scan_epoch(
+                model, loss_fn, outer_patch_size, siren_patch_size,
+                use_pallas=use_pallas, interpret=interpret,
+            )
         self.reconstructor = SliceReconstructor(
             lambda params, patches: model.apply(
                 {"params": params}, patches, deterministic=True
@@ -167,11 +329,18 @@ class Trainer:
         )
         self._progress: list[dict] = []
         self._start_time = time.time()
-        (self.run_dir / "snapshots").mkdir(parents=True, exist_ok=True)
+        # host-side artifacts (snapshots, logs, TensorBoard) are written by
+        # the primary process only; checkpoint saves stay collective (orbax
+        # coordinates all hosts)
+        from mri_inr_tpu.parallel import distributed
+
+        self._primary = distributed.is_primary()
+        if self._primary:
+            (self.run_dir / "snapshots").mkdir(parents=True, exist_ok=True)
         # opt-in TensorBoard scalars, the reference's `logging` flag contract
         # (training.py:115-119,383-387): training_loss/validation_loss per epoch
         self._tb_writer = None
-        if tensorboard:
+        if tensorboard and self._primary:
             from torch.utils.tensorboard import SummaryWriter
 
             self._tb_writer = SummaryWriter(log_dir=str(self.run_dir / "tensorboard"))
@@ -185,6 +354,8 @@ class Trainer:
         return fully, under
 
     def _epoch_loss(self, dataset, train: bool, epoch: int) -> float:
+        if self.device_data:
+            return self._scan_epoch_loss(dataset, train, epoch)
         losses = []
         for fully, under in dataset.batches(
             self.batch_size, seed=epoch, shuffle=train, prefetch=2
@@ -198,6 +369,26 @@ class Trainer:
                 loss = self.eval_step(self.state, fully, under)
             losses.append(loss)
         return float(jnp.mean(jnp.stack(losses)))
+
+    def _scan_epoch_loss(self, dataset, train: bool, epoch: int) -> float:
+        """One-dispatch epoch over device-resident tiles (same batch
+        composition as the host loop: :func:`make_epoch_perm`)."""
+        if not hasattr(dataset, "fully_tiles"):  # e.g. MRIDatasetLowMemory
+            self.device_data = False
+            return self._epoch_loss(dataset, train, epoch)
+        key = id(dataset)
+        if key not in self._dev_tiles:
+            fully = jnp.asarray(dataset.fully_tiles)
+            under = jnp.asarray(dataset.under_tiles)
+            self._dev_tiles[key] = (fully, under)
+        fully_all, under_all = self._dev_tiles[key]
+        perm = jnp.asarray(
+            make_epoch_perm(len(dataset), self.batch_size, epoch, shuffle=train)
+        )
+        self.state, loss = self._scan_epoch(
+            self.state, fully_all, under_all, perm, self.base_rng, train
+        )
+        return float(loss)
 
     def initial_errors(self) -> tuple[float, float]:
         """Pre-training train/val loss (the reference's
@@ -234,7 +425,8 @@ class Trainer:
             if prev is not None:
                 signal.signal(signal.SIGTERM, prev)
         ckpt_lib.save_state(self.run_dir, int(self.state.step), self.state)
-        self._write_progress_log()
+        if self._primary:
+            self._write_progress_log()
         return self.state
 
     # ------------------------------------------------------------------
@@ -258,8 +450,9 @@ class Trainer:
             self._tb_writer.flush()
         if (epoch + 1) % self.save_interval == 0:
             ckpt_lib.save_state(self.run_dir, int(self.state.step), self.state)
-            self._render_snapshots(epoch)
-        if (epoch + 1) % 100 == 0:
+            if self._primary:
+                self._render_snapshots(epoch)
+        if (epoch + 1) % 100 == 0 and self._primary:
             self._write_progress_log()
 
     def _render_snapshots(self, epoch: int):

@@ -30,13 +30,24 @@ def main():
         "--shard",
         default=None,
         metavar="I:N",
-        help="evaluate file shard I of N (multi-host sweep)",
+        help="evaluate file shard I of N (manual multi-machine sweep; "
+        "under jax.distributed the process shard is automatic)",
+    )
+    parser.add_argument(
+        "--merge-shards",
+        action="store_true",
+        help="merge metrics_shard*/ CSVs from prior --shard runs into the "
+        "single-run metrics_error.csv/summary/plots, then exit",
     )
     from mri_inr_tpu.utils.platform import add_platform_arg, select_platform
 
     add_platform_arg(parser)
     args = parser.parse_args()
     select_platform(args.platform)
+
+    from mri_inr_tpu.parallel import distributed
+
+    distributed.initialize()
 
     import jax
     import jax.numpy as jnp
@@ -48,6 +59,8 @@ def main():
     from mri_inr_tpu.eval.evaluate import (
         SliceReconstructor,
         evaluate_files,
+        gather_shard_results,
+        merge_shard_csvs,
         write_metrics_artifacts,
     )
     from mri_inr_tpu.models import modulated_siren as ms
@@ -79,20 +92,49 @@ def main():
             state = ckptr.restore(model_path.absolute(), state)
         print(f"restored {model_path}")
 
+    primary = distributed.is_primary()
     output_dir = (
         pathlib.Path(ecfg.output_dir) / ecfg.output_name
     )
-    output_dir.mkdir(parents=True, exist_ok=True)
+    if primary:
+        output_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.merge_shards:
+        results = merge_shard_csvs(output_dir)
+        summary = write_metrics_artifacts(results, output_dir)
+        values = {
+            "PSNR": np.array([r.psnr for r in results]),
+            "SSIM": np.array([r.ssim for r in results]),
+            "NRMSE": np.array([r.nrmse for r in results]),
+        }
+        visualization.metrics_boxplot(values, output_dir)
+        visualization.metrics_density_plot(values, output_dir)
+        print(f"merged {len(results)} rows into {output_dir}")
+        return
 
     sampler = MRISampler(
         ecfg.dataset,
         center_fraction=ecfg.center_fraction,
         acceleration=ecfg.acceleration,
     )
+    # explicit file list for the visual pass (reference
+    # test_mod_siren.py:124-128); metric sweep keeps the full selection
+    visual_sampler = sampler
+    if ecfg.test_files:
+        visual_sampler = MRISampler(
+            ecfg.dataset,
+            center_fraction=ecfg.center_fraction,
+            acceleration=ecfg.acceleration,
+            test_files=list(ecfg.test_files),
+        )
     if args.shard:
         i, n = (int(x) for x in args.shard.split(":"))
         sampler = sampler.shard(i, n)
         print(f"shard {i}/{n}: {len(sampler)} slices")
+    elif distributed.process_count() > 1:
+        i, n = distributed.process_index(), distributed.process_count()
+        sampler = sampler.shard(i, n)
+        print(f"process shard {i}/{n}: {len(sampler)} slices")
 
     from mri_inr_tpu.ops.siren_kernel import make_apply_fn
     from mri_inr_tpu.parallel import mesh as mesh_lib
@@ -107,9 +149,10 @@ def main():
         mesh=mesh,
     )
 
-    # visual pass
-    for _ in range(ecfg.visual_samples):
-        pair = sampler.next_sample()
+    # visual pass (primary host only — every host rendering the same files
+    # would duplicate artifacts)
+    for _ in range(ecfg.visual_samples if primary else 0):
+        pair = visual_sampler.next_sample()
         recon, fully, under, m = reconstructor(
             state.params, pair.fully_sampled, pair.undersampled
         )
@@ -131,12 +174,17 @@ def main():
         print(f"visual sample {pair.slice_id}: "
               + " ".join(f"{k}={float(v):.4f}" for k, v in m.items()))
 
-    # metric pass
+    # metric pass: each process scores its file shard; process shards are
+    # all-gathered so the primary writes the single-run artifact contract.
+    # Manual --shard runs land in metrics_shard*/ for a later --merge-shards.
     results = evaluate_files(
         reconstructor, state.params, sampler, num_samples=ecfg.metric_samples
     )
+    results = gather_shard_results(results)
     suffix = f"_shard{args.shard.replace(':', '_')}" if args.shard else ""
     metrics_dir = output_dir if not suffix else output_dir / f"metrics{suffix}"
+    if not primary:
+        return
     summary = write_metrics_artifacts(results, metrics_dir)
     values = {
         "PSNR": np.array([r.psnr for r in results]),

@@ -49,3 +49,20 @@ def test_fast_sin_odd_symmetry():
     np.testing.assert_allclose(
         np.asarray(fast_sin(-interior)), -np.asarray(fast_sin(interior)), atol=1e-7
     )
+
+
+def test_fast_sin7_accuracy():
+    from mri_inr_tpu.ops.fast_math import fast_sin7
+
+    x = jnp.linspace(-50.0, 50.0, 200001)
+    err = np.abs(np.asarray(fast_sin7(x)) - np.sin(np.asarray(x, np.float64)))
+    # degree-7 minimax bound 2.6e-4 — still 15x under bf16 resolution
+    assert err.max() < 3e-4
+
+
+def test_fast_cos_accuracy():
+    from mri_inr_tpu.ops.fast_math import fast_cos
+
+    x = jnp.linspace(-50.0, 50.0, 200001)
+    err = np.abs(np.asarray(fast_cos(x)) - np.cos(np.asarray(x, np.float64)))
+    assert err.max() < 5e-5

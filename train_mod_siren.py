@@ -32,6 +32,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mri_inr_tpu.parallel import distributed
+
+    # pod-slice bootstrap (no-op single-process); every host runs this same
+    # program, only the primary writes host-side artifacts
+    distributed.initialize()
+    primary = distributed.is_primary()
+
     from mri_inr_tpu.configuration import load_train_configuration
     from mri_inr_tpu.configuration.config import save_config_yaml
     from mri_inr_tpu.data.dataset import MRIDataset, MRIDatasetLowMemory
@@ -55,12 +62,29 @@ def main():
         resume = ckpt_lib.resolve_resume(tcfg.output_dir, tcfg.output_name)
         if resume:
             print(f"resuming from {resume[0]} at step {resume[1]}")
-    run_dir = (
-        resume[0]
-        if resume
-        else ckpt_lib.new_run_dir(tcfg.output_dir, tcfg.output_name)
-    )
-    save_config_yaml(cfg, run_dir / "config.yaml")
+    if resume:
+        run_dir = resume[0]
+    else:
+        # all hosts must agree on the timestamped dir name: broadcast the
+        # primary's wall clock before forming it
+        ts = None
+        if distributed.process_count() > 1:
+            import datetime
+
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            epoch_s = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.int64(datetime.datetime.now().timestamp())
+                )
+            )
+            ts = datetime.datetime.fromtimestamp(epoch_s).strftime(
+                "%Y-%m-%d_%H-%M-%S"
+            )
+        run_dir = ckpt_lib.new_run_dir(tcfg.output_dir, tcfg.output_name, ts)
+    if primary:
+        save_config_yaml(cfg, run_dir / "config.yaml")
     print(f"run dir: {run_dir}")
 
     dataset_cls = MRIDatasetLowMemory if dcfg.low_memory else MRIDataset
@@ -88,7 +112,7 @@ def main():
     )
     print(f"train patches: {len(train_ds)}, val patches: {len(val_ds)}")
     # data manifest (the reference's processed_files.txt)
-    if hasattr(train_ds, "write_manifest"):
+    if primary and hasattr(train_ds, "write_manifest"):
         train_ds.write_manifest(run_dir / "processed_files.txt")
 
     model = ms.from_config(mcfg, tcfg.precision)
@@ -142,6 +166,16 @@ def main():
     mesh = mesh_lib.make_mesh(tcfg.data_axis_size)
     print(f"mesh: {mesh}")
 
+    from mri_inr_tpu.ops.siren_kernel import pallas_available
+
+    use_pallas = (
+        tcfg.use_pallas
+        if tcfg.use_pallas is not None
+        else (mcfg.use_pallas and pallas_available())
+    )
+    if use_pallas:
+        print("training with fused Pallas fwd+bwd kernels")
+
     initial_epoch = 0
     trainer = Trainer(
         model,
@@ -157,6 +191,8 @@ def main():
         mesh=mesh,
         base_rng=jax.random.key(tcfg.seed + 1),
         tensorboard=tcfg.logging,
+        use_pallas=use_pallas,
+        device_data=tcfg.device_data,
     )
     if resume:
         trainer.state = ckpt_lib.restore_state(resume[0], resume[1], trainer.state)
