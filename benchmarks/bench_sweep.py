@@ -8,8 +8,11 @@ Usage: python benchmarks/bench_sweep.py [configs...]
   default sweep: bb8.s1.sin9 bb8.s1.sin7 bb8.s2.sin7 bb16.s1.sin7 bb8.s1.ident
 """
 
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

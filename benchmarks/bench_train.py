@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def bench_one(batch: int, iters: int, use_pallas: bool) -> dict:

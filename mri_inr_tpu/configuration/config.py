@@ -134,6 +134,10 @@ class EvalConfig:
     output_name: str = "modulated_siren"
     model_path: str = ""
     batch_patches: int = 1024  # static patch-batch bucket for jitted eval
+    # large-FOV mode: distributed weighted fold with ICI halo exchange
+    # (parallel/halo_fold.py); needs a multi-device mesh and the vertical
+    # patch count divisible by its size
+    halo_fold: bool = False
 
 
 @dataclass

@@ -216,6 +216,7 @@ class MRIDatasetLowMemory:
         outer_patch_size: int = 32,
         inner_patch_size: int = 16,
         cache_slices: int = 16,
+        filter_black: bool = False,
     ):
         self.outer_patch_size = outer_patch_size
         self.inner_patch_size = inner_patch_size
@@ -229,12 +230,28 @@ class MRIDatasetLowMemory:
         self.cache_slices = cache_slices
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-        # patch count per slice from metadata width/height (no file reads)
+        # per-slice kept-patch index maps. Without filtering these are None
+        # and counts come from metadata width/height (no file reads). With
+        # ``filter_black`` each fully-sampled slice is scanned ONCE at init
+        # for its non-black patch indices (the reference's low-memory
+        # dataset stores exactly this, ``mri_dataset.py:197-343``) — memory
+        # stays O(indices), not O(tiles).
+        self.filter_black = filter_black
+        self._keep: list[np.ndarray | None] = [None] * len(rows)
         counts = []
-        for row in rows:
-            nv = -(-int(row["height"]) // inner_patch_size)
-            nh = -(-int(row["width"]) // inner_patch_size)
-            counts.append(nv * nh)
+        for i, row in enumerate(rows):
+            if filter_black:
+                img = np.load(row["path_fullysampled"]).astype(np.float32)
+                tiles, _ = tile_image_np(img, outer_patch_size, inner_patch_size)
+                keep = np.flatnonzero(
+                    native.patch_means(tiles) >= BLACK_PATCH_THRESHOLD
+                )
+                self._keep[i] = keep
+                counts.append(len(keep))
+            else:
+                nv = -(-int(row["height"]) // inner_patch_size)
+                nh = -(-int(row["width"]) // inner_patch_size)
+                counts.append(nv * nh)
         self._counts = np.asarray(counts)
         self._offsets = np.concatenate([[0], np.cumsum(self._counts)])
 
@@ -259,10 +276,17 @@ class MRIDatasetLowMemory:
             self._cache.pop(next(iter(self._cache)))
         return hit
 
+    def _kept_tiles_for(self, slice_idx: int) -> tuple[np.ndarray, np.ndarray]:
+        f, u = self._tiles_for(slice_idx)
+        keep = self._keep[slice_idx]
+        if keep is not None:
+            f, u = f[keep], u[keep]
+        return f, u
+
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         slice_idx = int(np.searchsorted(self._offsets, idx, "right") - 1)
         local = idx - int(self._offsets[slice_idx])
-        f, u = self._tiles_for(slice_idx)
+        f, u = self._kept_tiles_for(slice_idx)
         return f[local], u[local]
 
     def batches(
@@ -280,7 +304,7 @@ class MRIDatasetLowMemory:
             buf_f, buf_u = [], []
             have = 0
             for slice_idx in order:
-                f, u = self._tiles_for(int(slice_idx))
+                f, u = self._kept_tiles_for(int(slice_idx))
                 buf_f.append(f)
                 buf_u.append(u)
                 have += f.shape[0]

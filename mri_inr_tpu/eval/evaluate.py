@@ -58,13 +58,22 @@ class SliceReconstructor:
         siren_patch_size: int = 24,
         patch_bucket: int = 512,
         mesh=None,
+        halo: bool = False,
     ):
+        """``halo=True`` (with a mesh): the weighted overlap-add fold runs
+        distributed via the ICI halo exchange
+        (``parallel.halo_fold.sharded_patches_to_image_weighted_average``)
+        instead of on one device — the large-FOV mode where the patch grid
+        of a single image exceeds one chip (requires the vertical patch
+        count to be divisible by the mesh's data-axis size; falls back to
+        the single-device fold otherwise)."""
         self.apply_fn = apply_fn
         self.outer = outer_patch_size
         self.inner = inner_patch_size
         self.siren = siren_patch_size
         self.patch_bucket = patch_bucket
         self.mesh = mesh
+        self.halo = halo
         self._jitted = {}
 
     def _build(self, height: int, width: int, num_padded: int):
@@ -100,9 +109,16 @@ class SliceReconstructor:
             padded = padded.at[:n].set(under_patches)
             pred = sharded_apply(params, padded)[:n].astype(jnp.float32)
             pred = tiling.mask_black_patches(pred, valid)
-            recon = tiling.patches_to_image_weighted_average(
-                pred, grid, siren, inner
-            )
+            if mesh is not None and self.halo and grid[0] % mesh.shape["data"] == 0:
+                from mri_inr_tpu.parallel import halo_fold
+
+                recon = halo_fold.sharded_patches_to_image_weighted_average(
+                    pred, grid, siren, inner, mesh
+                )
+            else:
+                recon = tiling.patches_to_image_weighted_average(
+                    pred, grid, siren, inner
+                )
             fully = tiling.patches_to_image(fully_patches, grid, outer, inner)
             under = tiling.patches_to_image(under_patches, grid, outer, inner)
             m = metrics_mod.image_metrics(fully, recon)

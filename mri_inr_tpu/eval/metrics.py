@@ -13,6 +13,12 @@ pod-parallel. Semantics match the reference exactly:
   here with VALID windows, which is equivalent;
 - NRMSE with skimage's default 'euclidean' normalization:
   ``sqrt(mse) / sqrt(mean(gt**2))``.
+
+Validated against golden values produced by re-running skimage's exact
+``structural_similarity(gaussian_weights=False)`` pipeline on
+``scipy.ndimage.uniform_filter`` — the same windowing engine skimage
+calls — in float64, plus closed-form analytic cases
+(tests/test_metrics_goldens.py).
 """
 
 from __future__ import annotations

@@ -114,11 +114,15 @@ VGG16_CONFIG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
                 512, 512, 512, "M", 512, 512, 512, "M")
 
 
-class VGGEncoder(nn.Module):
-    """VGG16-style conv encoder with 1-channel input, adaptive 7x7 pool and
-    a latent projection head (the reference's ``vgg`` encoder_type)."""
+class VGGTrunk(nn.Module):
+    """The VGG16 conv stack with 1-channel input: (B, P, P) -> NHWC feature
+    map after 5 conv stages + maxpools (1x1x512 for 32x32 patches). Shared
+    between :class:`VGGEncoder` (the SIREN's ``vgg`` encoder_type) and
+    :class:`VGGAutoencoder` (in-framework pretraining), so pretrained conv
+    weights transplant by subtree copy (the TPU-native stand-in for the
+    reference's ImageNet-checkpoint load, ``vgg.py:25-363`` — no egress
+    here, so initialization comes from AE pretraining instead)."""
 
-    latent_dim: int = 256
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -133,9 +137,70 @@ class VGGEncoder(nn.Module):
                             dtype=self.compute_dtype, name=f"conv_{conv_idx}")(x)
                 x = nn.relu(x)
                 conv_idx += 1
+        return x
+
+
+class VGGEncoder(nn.Module):
+    """VGG16-style conv encoder with 1-channel input, adaptive 7x7 pool and
+    a latent projection head (the reference's ``vgg`` encoder_type)."""
+
+    latent_dim: int = 256
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, patches: jax.Array) -> jax.Array:
+        x = VGGTrunk(self.compute_dtype, name="trunk")(patches)
         x = adaptive_avg_pool_2d(x, (7, 7))
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(self.latent_dim, dtype=self.compute_dtype, name="fc")(x)
+
+
+class VGGDecoder(nn.Module):
+    """Mirror decoder: NHWC trunk features -> (B, P, P) in [0, 1]. Five
+    ConvTranspose-upsampled stages reversing the VGG16 stage channels."""
+
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jax.Array) -> jax.Array:
+        stages = ((512, 512, 512), (512, 512, 512), (256, 256, 256),
+                  (128, 128), (64, 64))
+        x = feats.astype(self.compute_dtype)
+        idx = 0
+        for chs in stages:
+            x = nn.ConvTranspose(chs[0], (2, 2), strides=(2, 2),
+                                 dtype=self.compute_dtype,
+                                 name=f"up_{idx}")(x)
+            x = nn.relu(x)
+            for c in chs[1:]:
+                x = nn.Conv(c, (3, 3), padding="SAME",
+                            dtype=self.compute_dtype, name=f"conv_{idx}")(x)
+                x = nn.relu(x)
+                idx += 1
+            idx += 1
+        x = nn.Conv(1, (3, 3), padding="SAME", dtype=self.compute_dtype,
+                    name="out")(x)
+        return nn.sigmoid(x)[..., 0]
+
+
+class VGGAutoencoder(nn.Module):
+    """VGG16 autoencoder for in-framework pretraining of the ``vgg``
+    encoder_type (reference ``VGGAutoEncoder``, ``vgg.py:25-363``; there it
+    loads an ImageNet checkpoint — here the equivalent initialization is
+    produced by ``train_encoder.py --model vgg`` on MRI tiles, and
+    ``splice_pretrained_vgg_trunk`` installs the trunk into the SIREN)."""
+
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.trunk = VGGTrunk(self.compute_dtype)
+        self.decoder = VGGDecoder(self.compute_dtype)
+
+    def __call__(self, patches: jax.Array) -> jax.Array:
+        return self.decoder(self.trunk(patches))
+
+    def encode(self, patches: jax.Array) -> jax.Array:
+        return self.trunk(patches)
 
 
 class LatentEncoder(nn.Module):

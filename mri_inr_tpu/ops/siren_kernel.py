@@ -27,8 +27,9 @@ Structure exploited:
 - Sine uses the same degree-9 polynomial as ``ops/fast_math.fast_sin``
   (|err| <= 5.9e-6), which the VPU overlaps with MXU work.
 
-The kernel is inference/eval-path (deterministic, no dropout); training
-uses the Flax autodiff path. Parameters are consumed directly from the
+This kernel is the inference/eval path (deterministic, no dropout); the
+TRAINING fwd+bwd pair with in-kernel dropout and a custom_vjp lives in
+``ops/siren_train_kernel.py``. Parameters are consumed directly from the
 Flax ``ModulatedSiren`` param pytree via :func:`extract_kernel_params`.
 """
 
@@ -511,7 +512,7 @@ def pallas_available() -> bool:
 
 def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
                   interpret: bool = False, block_b: int = 8,
-                  quantized: bool = False):
+                  quantized: bool = False, sin7: bool = True):
     """(params, tiles) -> (B, siren, siren) forward; the fused Pallas path
     when requested and supported, else the Flax path. Drop-in for eval/
     reconstruction call sites (``SliceReconstructor``). ``quantized``
@@ -522,7 +523,7 @@ def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
     if use_pallas and (interpret or pallas_available()):
         return functools.partial(
             _fused_apply, model, block_b=block_b, interpret=interpret,
-            quantized=quantized,
+            quantized=quantized, sin7=sin7,
         )
     return functools.partial(_flax_apply, model)
 
@@ -531,10 +532,11 @@ def _flax_apply(model, params, tiles):
     return model.apply({"params": params}, tiles, deterministic=True)
 
 
-def _fused_apply(model, params, tiles, *, block_b, interpret, quantized=False):
+def _fused_apply(model, params, tiles, *, block_b, interpret,
+                 quantized=False, sin7=True):
     return fused_forward(
         model, params, tiles, block_b=block_b, interpret=interpret,
-        quantized=quantized,
+        quantized=quantized, sin7=sin7,
     )
 
 
@@ -546,6 +548,7 @@ def fused_forward(
     block_b: int = 8,
     interpret: bool = False,
     quantized: bool = False,
+    sin7: bool = True,
 ) -> jax.Array:
     """Full flagship forward: XLA conv encoder -> fused Pallas
     modulator+SIREN -> (B, siren, siren). Drop-in for
@@ -580,6 +583,8 @@ def fused_forward(
             kp, ikp, latent.astype(jnp.float32), **common
         )
     else:
-        out = fused_siren_forward(kp, latent.astype(jnp.float32), **common)
+        out = fused_siren_forward(
+            kp, latent.astype(jnp.float32), sin7=sin7, **common
+        )
     s = model.siren_patch_size
     return out.reshape(tiles.shape[0], s, s)

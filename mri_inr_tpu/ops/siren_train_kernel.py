@@ -245,25 +245,31 @@ def _bwd_kernel(
         x3 = drop(s3, i + 1) * mod_rows(i + 1)
         x_scratch[i + 1] = x3.reshape(n, hidden).astype(mm_dtype)
 
-    # ---- last layer backward ----
+    # ---- last layer backward, entirely in (n, 1) column layout ----
+    # Mosaic rejects shape casts that move the lane dimension ((tb, seq) ->
+    # (1, n) or [:, :, None]); g arrives pre-reshaped as an (n, 1) column
+    # block and the per-position scalars stay (n, 1) throughout — lane
+    # splats ((n,1)*(n,h)) and dim-0 contractions are all layout-preserving.
     x_last = x_scratch[num_layers - 1][:].astype(jnp.float32)
-    r = jnp.sum(x_last * lw_ref[:], axis=-1).reshape(tb, seq)
+    r = jnp.sum(x_last * lw_ref[:], axis=-1, keepdims=True)  # (n, 1)
     pre_last = r + lb_ref[0, 0]
-    g = g_ref[:]
-    dpre_last = g * dact(pre_last)  # (tb, seq)
+    g = g_ref[:]  # (n, 1)
+    dpre_last = g * dact(pre_last)  # (n, 1)
 
     dlw_ref[:] += jnp.broadcast_to(
-        jnp.dot(
-            dpre_last.reshape(1, n),
+        jax.lax.dot_general(
+            dpre_last,
             x_last,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ),
         dlw_ref.shape,
     )
     dlb_ref[:] += jnp.sum(dpre_last)
 
-    # dX for the last projection: outer product with the (1, H) weight row
-    dx3 = dpre_last.reshape(tb, seq, 1) * lw_ref[:].reshape(1, 1, hidden)
+    # dX for the last projection: lane-splat of the column against the
+    # (1, H) weight row
+    dx3 = (dpre_last * lw_ref[:]).reshape(tb, seq, hidden)
 
     dms = [None] * num_layers
     for i in range(num_layers - 2, -1, -1):
@@ -407,8 +413,10 @@ def _make_chain(
                 full(num_l, 1, hidden),
                 full(1, hidden),
                 full(1, 1),
+                # g as an (n, 1) column so the kernel's last-layer backward
+                # stays in lane-preserving layout (see _bwd_kernel)
                 pl.BlockSpec(
-                    (tb, seq), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=out_specs,
@@ -422,7 +430,8 @@ def _make_chain(
                 transcendentals=3 * padded * seq * hidden * num_l,
             ),
             interpret=interpret,
-        )(seed, mods, base, s_w, s_b, last_w, last_b, g)
+        )(seed, mods, base, s_w, s_b, last_w, last_b,
+          g.reshape(padded * seq, 1))
         return (
             dmods,
             dbase,
@@ -461,7 +470,7 @@ def siren_chain_train(
     activation: str = "sine",
     dropout_rate: float = 0.0,
     block_b: int = 8,
-    bwd_block_b: int = 4,
+    bwd_block_b: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     """(B, L*H) modulations -> (B, S) outputs; differentiable wrt ``mods``
@@ -500,7 +509,7 @@ def fused_train_apply(
     *,
     deterministic: bool = False,
     block_b: int = 8,
-    bwd_block_b: int = 4,
+    bwd_block_b: int = 8,
     interpret: bool = False,
     mm_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jax.Array:

@@ -60,14 +60,23 @@ def create_train_state(
 
 
 def splice_pretrained_encoder(params, autoencoder_params):
-    """Install pretrained conv-autoencoder encoder weights into a
-    ModulatedSiren parameter tree (the reference loads ``FixedEncoder``
-    weights from the AE checkpoint and then fine-tunes them jointly,
-    ``siren_encoder.py:551-577`` + ``modulated_siren.py:252-255``)."""
+    """Install pretrained autoencoder encoder weights into a ModulatedSiren
+    parameter tree; they are then fine-tuned jointly with the SIREN (the
+    reference's ``FixedEncoder`` load, ``siren_encoder.py:551-577`` +
+    ``modulated_siren.py:252-255``, and the VGG path,
+    ``modulated_siren.py:256-262``).
+
+    Conv AE checkpoints carry an ``encoder`` subtree (replaces the custom
+    encoder); VGG AE checkpoints carry a ``trunk`` subtree (replaces the
+    vgg encoder's conv stack, leaving its latent head freshly initialized).
+    """
     import flax
 
     params = flax.core.unfreeze(params)
-    params["encoder"]["encoder"] = autoencoder_params["encoder"]
+    if "trunk" in autoencoder_params:
+        params["encoder"]["encoder"]["trunk"] = autoencoder_params["trunk"]
+    else:
+        params["encoder"]["encoder"] = autoencoder_params["encoder"]
     return params
 
 

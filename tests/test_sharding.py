@@ -131,3 +131,28 @@ def test_sharded_pallas_reconstructor_matches_single(model):
     )
     for k in r0[3]:
         assert float(r0[3][k]) == pytest.approx(float(r1[3][k]), abs=1e-4)
+
+
+def test_halo_fold_reconstructor_matches_single(model):
+    """Large-FOV mode (VERDICT r1 item 10): SliceReconstructor(halo=True)
+    folds via the ICI halo exchange and must equal the single-device fold,
+    composed with the fused Pallas apply."""
+    from mri_inr_tpu.eval.evaluate import SliceReconstructor
+    from mri_inr_tpu.ops.siren_kernel import make_apply_fn
+
+    rng = np.random.default_rng(7)
+    # nv = 128/16 = 8 == mesh size, the divisibility contract
+    fully = rng.uniform(size=(128, 64)).astype(np.float32)
+    under = rng.uniform(size=(128, 64)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((2, 32, 32)))["params"]
+    apply_fn = make_apply_fn(model, use_pallas=True, interpret=True)
+
+    plain = SliceReconstructor(apply_fn, patch_bucket=16)
+    halo = SliceReconstructor(
+        apply_fn, patch_bucket=16, mesh=mesh_lib.make_mesh(), halo=True
+    )
+    r0 = plain(params, fully, under)
+    r1 = halo(params, fully, under)
+    np.testing.assert_allclose(np.asarray(r0[0]), np.asarray(r1[0]), atol=1e-5)
+    for k in r0[3]:
+        assert float(r0[3][k]) == pytest.approx(float(r1[3][k]), abs=1e-4)

@@ -33,7 +33,9 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dataset", required=True, help="metadata.csv path")
     parser.add_argument("--output", required=True)
-    parser.add_argument("--model", choices=["conv", "perceptual"], default="conv")
+    parser.add_argument(
+        "--model", choices=["conv", "perceptual", "vgg"], default="conv"
+    )
     parser.add_argument("--latent-dim", type=int, default=256)
     parser.add_argument("--epochs", type=int, default=50)
     parser.add_argument("--batch-size", type=int, default=256)
@@ -57,12 +59,19 @@ def main():
     import orbax.checkpoint as ocp
 
     from mri_inr_tpu.data.dataset import MRIDataset
-    from mri_inr_tpu.models.encoder import ConvAutoencoder
+    from mri_inr_tpu.models.encoder import ConvAutoencoder, VGGAutoencoder
     from mri_inr_tpu.models.perceptual import PerceptualAutoencoderV2
     from mri_inr_tpu.ops import tiling
 
     if args.model == "conv":
         model = ConvAutoencoder(latent_dim=args.latent_dim)
+        patch = 32
+        has_batch_stats = False
+    elif args.model == "vgg":
+        # pretrains the VGG16 trunk whose weights initialize the SIREN's
+        # ``vgg`` encoder_type (reference loads ImageNet weights instead,
+        # vgg.py:325-363 — no egress here, so in-framework pretraining)
+        model = VGGAutoencoder()
         patch = 32
         has_batch_stats = False
     else:
@@ -123,8 +132,9 @@ def main():
         if (epoch + 1) % 10 == 0 or epoch == args.epochs - 1:
             path = out_dir / f"{args.model}_autoencoder_epoch_{epoch:05d}"
             with ocp.StandardCheckpointer() as ckptr:
-                if args.model == "conv":
+                if args.model in ("conv", "vgg"):
                     # save params only — the SIREN splices `params['encoder']`
+                    # (conv) or `params['trunk']` (vgg)
                     ckptr.save(path.absolute(), variables["params"], force=True)
                 else:
                     # perceptual loss needs params + batch_stats of the encoder

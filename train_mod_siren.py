@@ -125,10 +125,17 @@ def main():
     )
 
     if mcfg.encoder_path:
-        ae = ConvAutoencoder(latent_dim=mcfg.latent_dim)
-        abstract = ae.init(
-            jax.random.key(0),
-            jnp.zeros((2, mcfg.outer_patch_size, mcfg.outer_patch_size)),
+        if mcfg.encoder_type == "vgg":
+            from mri_inr_tpu.models.encoder import VGGAutoencoder
+
+            ae = VGGAutoencoder()
+        else:
+            ae = ConvAutoencoder(latent_dim=mcfg.latent_dim)
+        abstract = jax.eval_shape(
+            lambda: ae.init(
+                jax.random.key(0),
+                jnp.zeros((2, mcfg.outer_patch_size, mcfg.outer_patch_size)),
+            )
         )["params"]
         import orbax.checkpoint as ocp
 
@@ -139,7 +146,7 @@ def main():
         state = state.replace(
             params=splice_pretrained_encoder(state.params, ae_params)
         )
-        print(f"loaded pretrained encoder from {mcfg.encoder_path}")
+        print(f"loaded pretrained {mcfg.encoder_type} encoder from {mcfg.encoder_path}")
 
     perceptual_vars = None
     if tcfg.criterion == "perceptual":
