@@ -31,7 +31,9 @@ A100_BASELINE_PIXELS_PER_SEC = 1.0e8
 BATCH = 4096
 ITERS = 100
 SIREN = 24
-FLOPS_PER_PATCH = 3.77e8
+# exact count (see benchmarks/README.md roofline): encoder 0.96 MF +
+# modulator 1.18 MF + SIREN chain 302.0 MF + final projection 0.29 MF
+FLOPS_PER_PATCH = 3.044e8
 
 
 def main():

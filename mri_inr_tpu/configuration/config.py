@@ -138,6 +138,9 @@ class EvalConfig:
     # (parallel/halo_fold.py); needs a multi-device mesh and the vertical
     # patch count divisible by its size
     halo_fold: bool = False
+    # metric-sweep slices scored per device dispatch (1 = per-slice loop);
+    # amortizes host<->device round trips over the 940-file sweep
+    eval_chunk: int = 8
 
 
 @dataclass

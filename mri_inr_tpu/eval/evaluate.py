@@ -137,6 +137,40 @@ class SliceReconstructor:
             params, jnp.asarray(fully_img), jnp.asarray(under_img)
         )
 
+    def _build_many(self, height: int, width: int, num_padded: int, chunk: int):
+        """Metrics-only pipeline scanned over a (chunk, H, W) slice stack —
+        ONE dispatch scores ``chunk`` slices (the host<->device round trip
+        otherwise dominates the 940-file sweep: ~23.5 ms/dispatch through
+        the axon relay vs ~2 ms of compute per 320x320 slice)."""
+        single = self._build(height, width, num_padded)
+
+        def run_many(params, fully_stack, under_stack):
+            def body(carry, fu):
+                _, _, _, m = single(params, fu[0], fu[1])
+                return carry, (m["psnr"], m["ssim"], m["nrmse"])
+
+            _, ms = jax.lax.scan(
+                body, jnp.float32(0), (fully_stack, under_stack)
+            )
+            return ms
+
+        return jax.jit(run_many)
+
+    def metrics_chunk(
+        self, params, fully_stack: np.ndarray, under_stack: np.ndarray
+    ):
+        """(K, H, W) fully/under stacks -> (psnr, ssim, nrmse) arrays of
+        length K, in one jitted dispatch."""
+        k, height, width = under_stack.shape
+        nv, nh = tiling.grid_shape(height, width, self.inner)
+        num_padded = _bucket(nv * nh, self.patch_bucket)
+        key = ("many", height, width, num_padded, k)
+        if key not in self._jitted:
+            self._jitted[key] = self._build_many(height, width, num_padded, k)
+        return self._jitted[key](
+            params, jnp.asarray(fully_stack), jnp.asarray(under_stack)
+        )
+
 
 def evaluate_files(
     reconstructor: SliceReconstructor,
@@ -163,6 +197,48 @@ def evaluate_files(
         if progress_every and (i + 1) % progress_every == 0:
             log(f"evaluated {i + 1}/{total} slices")
     return results
+
+
+def evaluate_files_chunked(
+    reconstructor: SliceReconstructor,
+    params,
+    sampler,
+    num_samples: int | None = None,
+    chunk: int = 8,
+    progress_every: int = 100,
+    log=print,
+) -> list[SliceResult]:
+    """Metric sweep with ``chunk`` slices scored per device dispatch
+    (metrics only — the visual pass keeps the per-slice path). Slices are
+    grouped by image shape; a trailing partial chunk is padded by repeating
+    its last slice and trimmed. Equivalent results to
+    :func:`evaluate_files` (tested), ~chunk x fewer dispatches."""
+    total = len(sampler) if num_samples is None else min(num_samples, len(sampler))
+    pairs = [sampler.next_sample() for _ in range(total)]
+    results: dict[int, SliceResult] = {}
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, p in enumerate(pairs):
+        by_shape.setdefault(p.fully_sampled.shape, []).append(i)
+
+    done = 0
+    for shape, idxs in by_shape.items():
+        for start in range(0, len(idxs), chunk):
+            grp = idxs[start : start + chunk]
+            padded = grp + [grp[-1]] * (chunk - len(grp))
+            fully = np.stack([pairs[i].fully_sampled for i in padded])
+            under = np.stack([pairs[i].undersampled for i in padded])
+            psnr, ssim, nrmse = reconstructor.metrics_chunk(params, fully, under)
+            for j, i in enumerate(grp):
+                results[i] = SliceResult(
+                    slice_id=pairs[i].slice_id,
+                    psnr=float(psnr[j]),
+                    ssim=float(ssim[j]),
+                    nrmse=float(nrmse[j]),
+                )
+            done += len(grp)
+            if progress_every and done % progress_every < len(grp):
+                log(f"evaluated {done}/{total} slices")
+    return [results[i] for i in range(total)]
 
 
 def gather_shard_results(results: list[SliceResult]) -> list[SliceResult]:

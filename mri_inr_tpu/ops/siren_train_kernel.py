@@ -429,6 +429,13 @@ def _make_chain(
                 + 3 * num_l * hidden * hidden * 4,
                 transcendentals=3 * padded * seq * hidden * num_l,
             ),
+            # the rematerialized chain + reverse-sweep temporaries exceed the
+            # 16 MB default scoped-vmem budget (~60 MB at block 8); the v5e
+            # core has 128 MB of physical VMEM — raise the cap instead of
+            # shrinking the block below Mosaic's 8-sublane minimum
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(seed, mods, base, s_w, s_b, last_w, last_b,
           g.reshape(padded * seq, 1))

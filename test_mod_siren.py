@@ -59,6 +59,7 @@ def main():
     from mri_inr_tpu.eval.evaluate import (
         SliceReconstructor,
         evaluate_files,
+        evaluate_files_chunked,
         gather_shard_results,
         merge_shard_csvs,
         write_metrics_artifacts,
@@ -177,9 +178,15 @@ def main():
     # metric pass: each process scores its file shard; process shards are
     # all-gathered so the primary writes the single-run artifact contract.
     # Manual --shard runs land in metrics_shard*/ for a later --merge-shards.
-    results = evaluate_files(
-        reconstructor, state.params, sampler, num_samples=ecfg.metric_samples
-    )
+    if ecfg.eval_chunk > 1:
+        results = evaluate_files_chunked(
+            reconstructor, state.params, sampler,
+            num_samples=ecfg.metric_samples, chunk=ecfg.eval_chunk,
+        )
+    else:
+        results = evaluate_files(
+            reconstructor, state.params, sampler, num_samples=ecfg.metric_samples
+        )
     results = gather_shard_results(results)
     suffix = f"_shard{args.shard.replace(':', '_')}" if args.shard else ""
     metrics_dir = output_dir if not suffix else output_dir / f"metrics{suffix}"

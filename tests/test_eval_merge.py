@@ -98,3 +98,32 @@ def test_sampler_test_files_filter(meta):
 
     with pytest.raises(ValueError):
         MRISampler(meta, test_files=["no_such_file"])
+
+
+def test_chunked_sweep_equals_per_slice(meta):
+    """evaluate_files_chunked (one dispatch per chunk) returns the same
+    per-slice metrics as the per-slice evaluate_files loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from mri_inr_tpu.eval.evaluate import (
+        SliceReconstructor,
+        evaluate_files,
+        evaluate_files_chunked,
+    )
+    from mri_inr_tpu.models.modulated_siren import ModulatedSiren
+
+    model = ModulatedSiren(dim_hidden=32, latent_dim=32, num_layers=2)
+    params = model.init(jax.random.key(0), jnp.zeros((2, 32, 32)))["params"]
+    apply_fn = lambda p, x: model.apply({"params": p}, x, deterministic=True)
+    recon = SliceReconstructor(apply_fn, patch_bucket=32)
+
+    ref = evaluate_files(recon, params, MRISampler(meta), progress_every=0)
+    got = evaluate_files_chunked(
+        recon, params, MRISampler(meta), chunk=4, progress_every=0
+    )
+    assert [r.slice_id for r in got] == [r.slice_id for r in ref]
+    for a, b in zip(got, ref):
+        assert a.psnr == pytest.approx(b.psnr, abs=1e-4)
+        assert a.ssim == pytest.approx(b.ssim, abs=1e-5)
+        assert a.nrmse == pytest.approx(b.nrmse, abs=1e-6)
