@@ -130,6 +130,13 @@ class EvalConfig:
     visual_samples: int = 0
     acceleration: int = 6
     center_fraction: float = 0.05
+    # sampler selection filters (reference hardwires Flair / slice_num <= 10,
+    # mri_sampler.py:15-45; here they are config — set mri_type to null to
+    # evaluate all contrasts)
+    mri_type: str | None = "Flair"
+    max_slice_num: int | None = 10
+    # cap the shuffled slice list itself (before metric_samples is applied)
+    num_samples: int | None = None
     output_dir: str = "./output"
     output_name: str = "modulated_siren"
     model_path: str = ""

@@ -75,6 +75,22 @@ class SliceReconstructor:
         self.mesh = mesh
         self.halo = halo
         self._jitted = {}
+        self._replicated_params_id = None
+
+    def _replicate(self, params):
+        """With a mesh, checkpoint-restored params arrive committed to
+        device 0 — a shard_map-under-jit over the full mesh rejects that
+        placement. Replicate them across the mesh once (cached by id)."""
+        if self.mesh is None:
+            return params
+        if self._replicated_params_id != id(params):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._params = jax.device_put(
+                params, NamedSharding(self.mesh, PartitionSpec())
+            )
+            self._replicated_params_id = id(params)
+        return self._params
 
     def _build(self, height: int, width: int, num_padded: int):
         outer, inner, siren = self.outer, self.inner, self.siren
@@ -134,7 +150,7 @@ class SliceReconstructor:
         if key not in self._jitted:
             self._jitted[key] = self._build(height, width, num_padded)
         return self._jitted[key](
-            params, jnp.asarray(fully_img), jnp.asarray(under_img)
+            self._replicate(params), jnp.asarray(fully_img), jnp.asarray(under_img)
         )
 
     def _build_many(self, height: int, width: int, num_padded: int, chunk: int):
@@ -168,7 +184,7 @@ class SliceReconstructor:
         if key not in self._jitted:
             self._jitted[key] = self._build_many(height, width, num_padded, k)
         return self._jitted[key](
-            params, jnp.asarray(fully_stack), jnp.asarray(under_stack)
+            self._replicate(params), jnp.asarray(fully_stack), jnp.asarray(under_stack)
         )
 
 

@@ -131,11 +131,14 @@ class SirenNet(nn.Module):
             if mods is not None:
                 h = h * mods[i][:, None, :].astype(h.dtype)
             x = x + h if (self.residual and i > 0) else h
+        # the output layer is ALWAYS sine-activated, even for Morlet models:
+        # the reference builds its last Siren without an activation argument,
+        # which defaults to Sine (modulated_siren.py:211-213 vs :120-123)
         out = SirenLayer(
             features=self.dim_out,
             w0=self.w0,
             use_bias=self.use_bias,
-            activation=self.activation,
+            activation="sine",
             compute_dtype=self.compute_dtype,
             exact_sine=self.exact_sine,
             name="last_layer",

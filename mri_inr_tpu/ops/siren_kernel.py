@@ -218,11 +218,13 @@ def _kernel(
             for s, pre in enumerate(pres)
         ]
 
-    # final projection (H -> 1) as a VPU reduction, then sine; single
-    # full-block store (Mosaic rejects strided sub-block stores on the
-    # non-128-aligned 576-lane output)
+    # final projection (H -> 1) as a VPU reduction, then sine — ALWAYS sine,
+    # even for Morlet models (the reference's last Siren defaults to Sine,
+    # modulated_siren.py:211-213); single full-block store (Mosaic rejects
+    # strided sub-block stores on the non-128-aligned 576-lane output)
+    act_last = lambda pre: sin(pre if w0 == 1.0 else w0 * pre)
     outs = [
-        act(
+        act_last(
             jnp.sum(x.astype(jnp.float32) * lw_ref[:], axis=-1).reshape(sub, seq)
             + lb_ref[0, 0]
         )
@@ -428,11 +430,13 @@ def _kernel_int8(
             xq = quantize(s3, i + 1)
 
     # final layer: x = s * m_{L-1} = (s * fq_{L-1}) * ls; reduce H -> 1 on
-    # the VPU, rescale per patch, then the output sine
+    # the VPU, rescale per patch, then the output sine (always Sine, even
+    # for Morlet models — reference modulated_siren.py:211-213)
     xlast = s3 * rows(fq_ref, num_layers - 1)
     r = jnp.sum(xlast * lw_ref[:].reshape(1, 1, hidden), axis=-1)  # (tb, seq)
     ls = jax.lax.slice(ls_ref[:], (0, 0), (tb, 1))  # (tb, 1)
-    out_ref[:] = act(r * ls + lb_ref[0, 0])
+    pre_last = r * ls + lb_ref[0, 0]
+    out_ref[:] = _poly_sin(pre_last if w0 == 1.0 else w0 * pre_last)
 
 
 @functools.partial(

@@ -69,8 +69,24 @@ def _wrap_i32(v: int) -> int:
     return v - 2**32 if v >= 2**31 else v
 
 
+def _sine_pair(w0: float):
+    """(act, dact) for the sine activation — the OUTPUT layer always uses
+    this, even for Morlet models (the reference's last Siren is built
+    without an activation argument and defaults to Sine,
+    modulated_siren.py:211-213)."""
+
+    def act(p):
+        return fast_sin(p if w0 == 1.0 else w0 * p)
+
+    def dact(p):
+        return w0 * fast_cos(p if w0 == 1.0 else w0 * p)
+
+    return act, dact
+
+
 def _act_pair(w0: float, activation: str):
-    """(act, dact): activation and its derivative wrt the pre-activation."""
+    """(act, dact): hidden-layer activation and its derivative wrt the
+    pre-activation."""
 
     if activation == "morlet":
 
@@ -134,6 +150,7 @@ def _fwd_kernel(
     n = tb * seq
     mm_dtype = sw_ref.dtype
     act, _ = _act_pair(w0, activation)
+    act_last, _ = _sine_pair(w0)
     keep = 1.0 - rate
 
     if rate > 0.0:
@@ -167,7 +184,7 @@ def _fwd_kernel(
         x = x3.reshape(n, hidden).astype(mm_dtype)
 
     r = jnp.sum(x.astype(jnp.float32) * lw_ref[:], axis=-1).reshape(tb, seq)
-    out_ref[:] = act(r + lb_ref[0, 0])
+    out_ref[:] = act_last(r + lb_ref[0, 0])
 
 
 def _bwd_kernel(
@@ -201,6 +218,7 @@ def _bwd_kernel(
     n = tb * seq
     mm_dtype = sw_ref.dtype
     act, dact = _act_pair(w0, activation)
+    _, dact_last = _sine_pair(w0)
     keep = 1.0 - rate
 
     if rate > 0.0:
@@ -254,7 +272,7 @@ def _bwd_kernel(
     r = jnp.sum(x_last * lw_ref[:], axis=-1, keepdims=True)  # (n, 1)
     pre_last = r + lb_ref[0, 0]
     g = g_ref[:]  # (n, 1)
-    dpre_last = g * dact(pre_last)  # (n, 1)
+    dpre_last = g * dact_last(pre_last)  # (n, 1)
 
     dlw_ref[:] += jnp.broadcast_to(
         jax.lax.dot_general(

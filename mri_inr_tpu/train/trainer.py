@@ -184,16 +184,59 @@ def make_train_step(
     )
 
 
-def make_eval_step(model, loss_fn, outer: int, siren: int, mesh=None):
-    def step(state: TrainState, fully: jax.Array, under: jax.Array):
+def _make_eval_apply(model, use_pallas: bool, interpret: bool):
+    """Deterministic (params, under) -> (B, siren, siren) forward for
+    validation epochs and snapshot rendering: the fused Pallas eval kernel
+    when training runs fused (the Flax fallback here used to pay the exact
+    HBM layer-crossing traffic the kernels eliminate — for the validation
+    half of every epoch), else the Flax apply."""
+    from mri_inr_tpu.ops.siren_kernel import make_apply_fn
+
+    return make_apply_fn(model, use_pallas=use_pallas, interpret=interpret)
+
+
+def make_eval_step(
+    model,
+    loss_fn,
+    outer: int,
+    siren: int,
+    mesh=None,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    apply_fn = _make_eval_apply(model, use_pallas, interpret)
+
+    def loss_of(params, fully, under):
         target = tiling.extract_center_batch(fully, outer, siren).astype(jnp.float32)
-        pred = model.apply({"params": state.params}, under, deterministic=True)
+        pred = apply_fn(params, under)
         return loss_fn(pred.astype(jnp.float32), target)
 
     if mesh is None:
-        return jax.jit(step)
+        return jax.jit(
+            lambda state, fully, under: loss_of(state.params, fully, under)
+        )
     batch_sh = mesh_lib.batch_sharding(mesh)
     repl = mesh_lib.replicated_sharding(mesh)
+
+    if use_pallas and not getattr(model, "residual", False):
+        # same reasoning as the fused train step: a pallas_call under plain
+        # GSPMD would gather the batch to one device — shard_map keeps each
+        # device on its local rows, pmean combines the loss
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        sharded_loss = shard_map(
+            lambda p, f, u: jax.lax.pmean(loss_of(p, f, u), "data"),
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=P(),
+            check_vma=False,
+        )
+        step = lambda state, fully, under: sharded_loss(
+            state.params, fully, under
+        )
+    else:
+        step = lambda state, fully, under: loss_of(state.params, fully, under)
     return jax.jit(
         step, in_shardings=(repl, batch_sh, batch_sh), out_shardings=repl
     )
@@ -236,6 +279,7 @@ def make_scan_epoch(
     Single-mesh (data fits one chip's HBM) — the pod path keeps the
     per-batch ``make_train_step``."""
     forward = _make_forward(model, use_pallas, interpret)
+    eval_apply = _make_eval_apply(model, use_pallas, interpret)
 
     def epoch(state: TrainState, fully_all, under_all, perm, rng, train: bool):
         def train_body(st, batch_idx):
@@ -259,9 +303,7 @@ def make_scan_epoch(
             target = tiling.extract_center_batch(fully, outer, siren).astype(
                 jnp.float32
             )
-            pred = model.apply(
-                {"params": st.params}, under, deterministic=True
-            )
+            pred = eval_apply(st.params, under)
             return st, loss_fn(pred.astype(jnp.float32), target)
 
         state, losses = jax.lax.scan(
@@ -315,7 +357,8 @@ class Trainer:
             use_pallas=use_pallas, interpret=interpret,
         )
         self.eval_step = make_eval_step(
-            model, loss_fn, outer_patch_size, siren_patch_size, mesh
+            model, loss_fn, outer_patch_size, siren_patch_size, mesh,
+            use_pallas=use_pallas, interpret=interpret,
         )
         # device-resident scan epochs: load each dataset's tiles to HBM once
         # and run the whole epoch as ONE dispatch (single-device only)
@@ -329,10 +372,9 @@ class Trainer:
                 model, loss_fn, outer_patch_size, siren_patch_size,
                 use_pallas=use_pallas, interpret=interpret,
             )
+        # snapshot rendering shares the fused eval path when training fused
         self.reconstructor = SliceReconstructor(
-            lambda params, patches: model.apply(
-                {"params": params}, patches, deterministic=True
-            ),
+            _make_eval_apply(model, use_pallas, interpret),
             outer_patch_size=outer_patch_size,
             siren_patch_size=siren_patch_size,
         )

@@ -41,7 +41,7 @@ def main():
 
     add_platform_arg(parser)
     args = parser.parse_args()
-    select_platform(args.platform)
+    select_platform(args.platform, args.devices)
 
     from mri_inr_tpu.data.preprocessing import process_files
 

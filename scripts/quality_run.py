@@ -116,9 +116,9 @@ def main():
         "train_files": args.train_files,
         "slices_per_file": args.slices,
         "image_size": args.size,
-        "run_dir": str(run_dir),
+        "run_dir": str(run_dir.relative_to(REPO)),
         "wall_seconds": time.time() - t_start,
-    }, indent=2))
+    }, indent=2) + "\n")
     print(f"total {time.time() - t_start:.0f}s", flush=True)
 
 

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""The 940-file validation sweep at reference scale (VERDICT r2 item 6).
+
+The reference's metric pass iterates up to 940 fastMRI FLAIR validation
+files at 320x320 (``test_mod_siren.py:175-255``, ``README.md:18``). This
+script demonstrates that contract end-to-end on synthetic phantoms:
+
+1. generates a 940-slice eval set (235 volumes x 4 slices, 320x320),
+2. runs the full chunked metric sweep on the chip (one process),
+3. re-runs it as two manual shards (``--shard 0:2`` / ``1:2``) plus
+   ``--merge-shards``, and asserts the merged summary equals the
+   unsharded one on the real artifacts,
+4. records slices/s + wall time into ``runs/results/sweep940.json``.
+
+Usage: python scripts/sweep940.py [--model-dir runs/quality/train/...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def sh(args: list[str]) -> None:
+    print(f"+ {' '.join(args)}", flush=True)
+    subprocess.run(args, check=True, cwd=REPO)
+
+
+def read_summary(path: pathlib.Path) -> dict:
+    out = {}
+    for line in path.read_text().splitlines():
+        metric, rest = line.split(":", 1)
+        out[metric.strip()] = {
+            kv.split("=")[0]: float(kv.split("=")[1]) for kv in rest.split()
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", default=None,
+                    help="trained run dir (default: newest runs/quality run)")
+    ap.add_argument("--files", type=int, default=235)
+    ap.add_argument("--slices", type=int, default=4)
+    ap.add_argument("--size", type=int, default=320)
+    ap.add_argument("--chunk", type=int, default=8)
+    args = ap.parse_args()
+
+    model_dir = args.model_dir or str(
+        sorted((REPO / "runs/quality/train").glob("quality_*"))[-1]
+    )
+    root = REPO / "runs" / "results" / "sweep940"
+    data = root / "data"
+    out = root / "eval"
+
+    sys.path.insert(0, str(REPO))
+    t0 = time.time()
+    if not (data / "processed" / "metadata.csv").exists():
+        from mri_inr_tpu.data import synthetic
+        from mri_inr_tpu.data.preprocessing import process_files
+
+        synthetic.write_synthetic_h5(
+            data, num_files=args.files, num_slices=args.slices,
+            height=args.size, width=args.size, seed=5000,
+        )
+        process_files(data)
+    meta = str(data / "processed" / "metadata.csv")
+    gen_secs = time.time() - t0
+    print(f"data ready: {args.files * args.slices} slices ({gen_secs:.0f}s)",
+          flush=True)
+
+    common = [
+        sys.executable, "test_mod_siren.py",
+        "--set", f"data.dataset={meta}",
+        "--set", f"data.model_path={model_dir}",
+        "--set", "data.max_slice_num=100",
+        "--set", "data.batch_patches=512",
+        "--set", f"data.eval_chunk={args.chunk}",
+        "--set", f"data.output_dir={out}",
+    ]
+
+    # full unsharded sweep
+    t1 = time.time()
+    sh(common + ["--set", "data.output_name=full"])
+    full_secs = time.time() - t1
+    n = args.files * args.slices
+    print(f"unsharded sweep: {n} slices in {full_secs:.1f}s "
+          f"= {n / full_secs:.2f} slices/s", flush=True)
+
+    # two manual shards + merge; must equal the unsharded artifacts
+    t2 = time.time()
+    sh(common + ["--set", "data.output_name=sharded", "--shard", "0:2"])
+    sh(common + ["--set", "data.output_name=sharded", "--shard", "1:2"])
+    sh(common + ["--set", "data.output_name=sharded", "--merge-shards"])
+    shard_secs = time.time() - t2
+
+    full_sum = read_summary(out / "full" / "metrics_summary.txt")
+    merged_sum = read_summary(out / "sharded" / "metrics_summary.txt")
+    for metric in ("PSNR", "SSIM", "NRMSE"):
+        for stat in ("mean", "std", "min", "max"):
+            a, b = full_sum[metric][stat], merged_sum[metric][stat]
+            assert abs(a - b) < 1e-9, (metric, stat, a, b)
+    print("sharded+merged summary == unsharded summary (exact)", flush=True)
+
+    # row-set equality too (order-independent)
+    import csv
+
+    def rows(p):
+        with open(p, newline="") as f:
+            return sorted((r["FILENAME"], r["PSNR"], r["SSIM"], r["NRMSE"])
+                          for r in csv.DictReader(f))
+
+    assert rows(out / "full" / "metrics_error.csv") == rows(
+        out / "sharded" / "metrics_error.csv"
+    )
+    print("sharded+merged per-file rows == unsharded rows (exact)", flush=True)
+
+    (root / "sweep940.json").write_text(json.dumps({
+        "slices": n,
+        "image_size": args.size,
+        "eval_chunk": args.chunk,
+        "model_dir": str(pathlib.Path(model_dir).relative_to(REPO)),
+        "datagen_seconds": round(gen_secs, 1),
+        "unsharded_seconds": round(full_secs, 1),
+        "unsharded_slices_per_sec": round(n / full_secs, 3),
+        "two_shard_plus_merge_seconds": round(shard_secs, 1),
+        "summary": full_sum,
+    }, indent=2) + "\n")
+    print(f"wrote {root / 'sweep940.json'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,7 @@ def main():
 
     add_platform_arg(parser)
     args = parser.parse_args()
-    select_platform(args.platform)
+    select_platform(args.platform, args.devices)
 
     from mri_inr_tpu.parallel import distributed
 
@@ -113,20 +113,20 @@ def main():
         print(f"merged {len(results)} rows into {output_dir}")
         return
 
-    sampler = MRISampler(
-        ecfg.dataset,
+    sampler_kwargs = dict(
         center_fraction=ecfg.center_fraction,
         acceleration=ecfg.acceleration,
+        mri_type=ecfg.mri_type,
+        max_slice_num=ecfg.max_slice_num,
+        num_samples=ecfg.num_samples,
     )
+    sampler = MRISampler(ecfg.dataset, **sampler_kwargs)
     # explicit file list for the visual pass (reference
     # test_mod_siren.py:124-128); metric sweep keeps the full selection
     visual_sampler = sampler
     if ecfg.test_files:
         visual_sampler = MRISampler(
-            ecfg.dataset,
-            center_fraction=ecfg.center_fraction,
-            acceleration=ecfg.acceleration,
-            test_files=list(ecfg.test_files),
+            ecfg.dataset, test_files=list(ecfg.test_files), **sampler_kwargs
         )
     if args.shard:
         i, n = (int(x) for x in args.shard.split(":"))
@@ -148,6 +148,9 @@ def main():
         siren_patch_size=mcfg.siren_patch_size,
         patch_bucket=ecfg.batch_patches,
         mesh=mesh,
+        # large-FOV mode: distributed weighted fold with ICI halo exchange
+        # (falls back per slice when the grid doesn't divide the mesh)
+        halo=ecfg.halo_fold,
     )
 
     # visual pass (primary host only — every host rendering the same files

@@ -50,7 +50,7 @@ def main():
 
     add_platform_arg(parser)
     args = parser.parse_args()
-    select_platform(args.platform)
+    select_platform(args.platform, args.devices)
 
     import jax
     import jax.numpy as jnp

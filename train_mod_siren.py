@@ -27,7 +27,7 @@ def main():
 
     add_platform_arg(parser)
     args = parser.parse_args()
-    select_platform(args.platform)
+    select_platform(args.platform, args.devices)
 
     import jax
     import jax.numpy as jnp
@@ -56,10 +56,16 @@ def main():
     cfg = load_train_configuration(args.config, args.overrides)
     tcfg, mcfg, dcfg = cfg.training, cfg.model, cfg.data
 
-    # resume-vs-fresh resolution (reference train_mod_siren.py:32-56)
+    # resume-vs-fresh resolution (reference train_mod_siren.py:32-56);
+    # an explicit training.model_path pins the run dir, otherwise the
+    # newest {name}_{timestamp} dir with the highest step is discovered
     resume = None
     if tcfg.continue_training:
-        resume = ckpt_lib.resolve_resume(tcfg.output_dir, tcfg.output_name)
+        if tcfg.model_path:
+            run = pathlib.Path(tcfg.model_path)
+            resume = (run, ckpt_lib.find_latest_step(run))
+        else:
+            resume = ckpt_lib.resolve_resume(tcfg.output_dir, tcfg.output_name)
         if resume:
             print(f"resuming from {resume[0]} at step {resume[1]}")
     if resume:
