@@ -33,10 +33,11 @@ latents = model.apply({"params": params}, tiles, method=model.encode).astype(jnp
 latents = jax.block_until_ready(latents)
 
 
-def timed(tag, bb, streams, sin7):
+def timed(tag, bb, streams, sin7, sin_bf16=False):
     def body(c, i):
         out = sk.fused_siren_forward(
-            kp, latents + i * 1e-6, block_b=bb, streams=streams, sin7=sin7
+            kp, latents + i * 1e-6, block_b=bb, streams=streams, sin7=sin7,
+            sin_bf16=sin_bf16,
         )
         return c + out.mean(), None
 
@@ -61,6 +62,7 @@ def main():
         "bb8.s1.ident",
     ]
     orig_sin = sk._poly_sin
+    orig_sin7 = sk.fast_sin7
     for tok in configs:
         bb_s, st_s, poly = tok.split(".")
         bb, st = int(bb_s[2:]), int(st_s[1:])
@@ -72,6 +74,32 @@ def main():
                 timed(tok, bb, st, sin7=False)
             finally:
                 sk._poly_sin = orig_sin
+        elif poly == "sin7b":
+            # bf16 polynomial tail + bf16 FiLM multiply (packed-VPU probe)
+            timed(tok, bb, st, sin7=False, sin_bf16=True)
+        elif poly == "sin7ne":
+            # round-to-nearest-even range reduction: one hardware round vs
+            # the floor(+0.5) pair, if Mosaic lowers lax.round natively
+            import jax.lax as lax
+
+            from mri_inr_tpu.ops import fast_math as fm
+
+            def sin7_ne(x, _fm=fm, _lax=lax):
+                v = x.astype(jnp.float32)
+                r = _lax.round(v * _fm.INV_TWO_PI,
+                               _lax.RoundingMethod.TO_NEAREST_EVEN)
+                v = v - _fm.TWO_PI * jax.lax.stop_gradient(r)
+                v2 = v * v
+                p = _fm._D2 + v2 * _fm._D3
+                p = _fm._D1 + v2 * p
+                p = _fm._D0 + v2 * p
+                return v * p
+
+            sk.fast_sin7 = sin7_ne
+            try:
+                timed(tok, bb, st, sin7=True)
+            finally:
+                sk.fast_sin7 = orig_sin7
         else:
             timed(tok, bb, st, sin7=(poly == "sin7"))
 

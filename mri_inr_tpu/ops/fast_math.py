@@ -83,6 +83,26 @@ def fast_sin7(x: jax.Array) -> jax.Array:
     return (v * p).astype(dtype)
 
 
+def fast_sin7_bf16(x: jax.Array) -> jax.Array:
+    """Degree-7 sine with the POLYNOMIAL evaluated in bf16 (range reduction
+    stays fp32 — 2pi*round in bf16 would lose ~0.03 absolute for |x|~10).
+
+    Rationale: on VPUs with packed-bf16 ALUs this halves the cost of the
+    5-op polynomial tail. Accuracy: bf16 rounding of v (eps ~0.016 at pi)
+    bounds the result at ~1e-2 absolute — ~2x the bf16 resolution the
+    activation is about to be quantized to for the next MXU matmul anyway.
+    Opt-in (`sin_bf16` kernel knob), OFF by default; see the measured
+    schedule table in benchmarks/README.md before enabling."""
+    v = x.astype(jnp.float32)
+    v = v - TWO_PI * _fast_round(v * INV_TWO_PI)
+    v = v.astype(jnp.bfloat16)
+    v2 = v * v
+    p = jnp.bfloat16(_D2) + v2 * jnp.bfloat16(_D3)
+    p = jnp.bfloat16(_D1) + v2 * p
+    p = jnp.bfloat16(_D0) + v2 * p
+    return v * p
+
+
 def fast_cos(x: jax.Array) -> jax.Array:
     """Polynomial cosine via ``fast_sin(x + pi/2)`` — same 5.9e-6 error
     envelope. Used by the fused training kernel's backward pass where

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mri_inr_tpu.ops.fast_math import fast_sin, fast_sin7
+from mri_inr_tpu.ops.fast_math import fast_sin, fast_sin7, fast_sin7_bf16
 
 
 class SirenKernelParams(NamedTuple):
@@ -166,6 +166,7 @@ def _kernel(
     activation: str,
     streams: int,
     sin7: bool = False,
+    sin_bf16: bool = False,
 ):
     """One batch-block forward over precomputed modulations. ``streams=2``
     splits the block's stacked activation into independent row-halves and
@@ -173,10 +174,12 @@ def _kernel(
     stream overlaps the matmul (MXU) of the other, hiding the
     otherwise-serialized VPU phase. ``sin7`` selects the degree-7
     polynomial (|err| 2.6e-4, still 15x under bf16 resolution) — one VPU
-    FMA cheaper per element on a VPU-bound chain."""
+    FMA cheaper per element on a VPU-bound chain. ``sin_bf16`` evaluates
+    the polynomial tail + FiLM multiply in bf16 (packed-VPU experiment;
+    ~1e-2 absolute activation error, see fast_math.fast_sin7_bf16)."""
     tb = mods_ref.shape[0]
     seq, hidden = base_ref.shape
-    sin = fast_sin7 if sin7 else _poly_sin
+    sin = fast_sin7_bf16 if sin_bf16 else (fast_sin7 if sin7 else _poly_sin)
 
     def act(pre):
         out = sin(pre if w0 == 1.0 else w0 * pre)
@@ -204,6 +207,10 @@ def _kernel(
         for s in range(streams)
     ]
 
+    # with the bf16 polynomial the FiLM multiply also runs in bf16 (its
+    # f32 product would immediately be cast down for the next matmul)
+    mod_dtype = jnp.bfloat16 if sin_bf16 else jnp.float32
+
     for i in range(num_layers - 1):
         # SIREN hidden layer i+1, one matmul per stream; the streams are
         # data-independent so Mosaic overlaps stream s's activation (VPU)
@@ -212,7 +219,10 @@ def _kernel(
             jnp.dot(x, sw_ref[i], preferred_element_type=jnp.float32) for x in xs
         ]
         xs = [
-            (act(pre + sb_ref[i]).reshape(sub, seq, hidden) * mod_rows(i + 1, s))
+            (
+                act(pre + sb_ref[i]).reshape(sub, seq, hidden)
+                * mod_rows(i + 1, s).astype(mod_dtype)
+            )
             .reshape(sub * seq, hidden)
             .astype(jnp.bfloat16)
             for s, pre in enumerate(pres)
@@ -222,7 +232,10 @@ def _kernel(
     # even for Morlet models (the reference's last Siren defaults to Sine,
     # modulated_siren.py:211-213); single full-block store (Mosaic rejects
     # strided sub-block stores on the non-128-aligned 576-lane output)
-    act_last = lambda pre: sin(pre if w0 == 1.0 else w0 * pre)
+    # output-layer sine stays fp32 even under sin_bf16 (it writes the
+    # final f32 image values; one (tb, seq) tensor — negligible VPU cost)
+    sin_last = fast_sin7 if (sin7 or sin_bf16) else _poly_sin
+    act_last = lambda pre: sin_last(pre if w0 == 1.0 else w0 * pre)
     outs = [
         act_last(
             jnp.sum(x.astype(jnp.float32) * lw_ref[:], axis=-1).reshape(sub, seq)
@@ -237,7 +250,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "num_layers", "w0", "activation", "block_b", "interpret", "streams",
-        "sin7",
+        "sin7", "sin_bf16",
     ),
 )
 def fused_siren_forward(
@@ -251,6 +264,7 @@ def fused_siren_forward(
     interpret: bool = False,
     streams: int = 1,
     sin7: bool = False,
+    sin_bf16: bool = False,
 ) -> jax.Array:
     """(B, latent) latents -> (B, S) SIREN outputs, fully fused.
 
@@ -285,6 +299,7 @@ def fused_siren_forward(
             activation=activation,
             streams=streams,
             sin7=sin7,
+            sin_bf16=sin_bf16,
         ),
         out_shape=jax.ShapeDtypeStruct((padded, seq), jnp.float32),
         grid=grid,
@@ -516,7 +531,8 @@ def pallas_available() -> bool:
 
 def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
                   interpret: bool = False, block_b: int = 8,
-                  quantized: bool = False, sin7: bool = True):
+                  quantized: bool = False, sin7: bool = True,
+                  sin_bf16: bool = False):
     """(params, tiles) -> (B, siren, siren) forward; the fused Pallas path
     when requested and supported, else the Flax path. Drop-in for eval/
     reconstruction call sites (``SliceReconstructor``). ``quantized``
@@ -527,7 +543,7 @@ def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
     if use_pallas and (interpret or pallas_available()):
         return functools.partial(
             _fused_apply, model, block_b=block_b, interpret=interpret,
-            quantized=quantized, sin7=sin7,
+            quantized=quantized, sin7=sin7, sin_bf16=sin_bf16,
         )
     return functools.partial(_flax_apply, model)
 
@@ -537,10 +553,10 @@ def _flax_apply(model, params, tiles):
 
 
 def _fused_apply(model, params, tiles, *, block_b, interpret,
-                 quantized=False, sin7=True):
+                 quantized=False, sin7=True, sin_bf16=False):
     return fused_forward(
         model, params, tiles, block_b=block_b, interpret=interpret,
-        quantized=quantized, sin7=sin7,
+        quantized=quantized, sin7=sin7, sin_bf16=sin_bf16,
     )
 
 
@@ -553,6 +569,7 @@ def fused_forward(
     interpret: bool = False,
     quantized: bool = False,
     sin7: bool = True,
+    sin_bf16: bool = False,
 ) -> jax.Array:
     """Full flagship forward: XLA conv encoder -> fused Pallas
     modulator+SIREN -> (B, siren, siren). Drop-in for
@@ -588,7 +605,8 @@ def fused_forward(
         )
     else:
         out = fused_siren_forward(
-            kp, latent.astype(jnp.float32), sin7=sin7, **common
+            kp, latent.astype(jnp.float32), sin7=sin7, sin_bf16=sin_bf16,
+            **common,
         )
     s = model.siren_patch_size
     return out.reshape(tiles.shape[0], s, s)

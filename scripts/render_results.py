@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Render RESULTS.md from the measured quality/throughput artifacts:
+
+- runs/quality/            (baseline row, r2: 600-epoch end-to-end run)
+- runs/results/rows.json   (ablation + acceleration rows, scripts/results_run.py)
+- runs/results/sweep940/sweep940.json (940-slice sweep, scripts/sweep940.py)
+- benchmarks readings      (inlined manually in benchmarks/README.md)
+
+Usage: python scripts/render_results.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+REF_ROWS = {
+    # reference README.md:34-41 and :58-62 (mean values)
+    "baseline": ("26.646", "0.850", "0.310", "/root/reference/README.md:36"),
+    "edge": ("26.766", "0.855", "0.313", "/root/reference/README.md:37"),
+    "vgg": ("21.233", "0.739", "0.608", "/root/reference/README.md:38"),
+    "morlet": ("25.865", "0.861", "0.370", "/root/reference/README.md:39"),
+    "perceptual": ("24.659", "0.770", "0.428", "/root/reference/README.md:40"),
+    "residual": ("26.666", "0.853", "0.307", "/root/reference/README.md:41"),
+    "acc_005_8": ("26.371", "0.854", "0.324", "/root/reference/README.md:60"),
+    "acc_01_6": ("27.878", "0.882", "0.269", "/root/reference/README.md:62"),
+    "acc_02_4": ("—", "—", "—", "(not published)"),
+}
+
+ROW_LABEL = {
+    "baseline": "Baseline (sine, MSE, custom encoder, acc 6 / cf 0.05)",
+    "edge": "Edge loss",
+    "vgg": "VGG encoder",
+    "morlet": "Morlet activation",
+    "perceptual": "Perceptual loss",
+    "residual": "Residual MLP",
+    "acc_005_8": "Acc 8 / cf 0.05",
+    "acc_01_6": "Acc 6 / cf 0.10",
+    "acc_02_4": "Acc 4 / cf 0.20",
+}
+
+
+def fmt(stats: dict | None) -> str:
+    if not stats:
+        return "—"
+    return f"{stats['mean']:.3f} ± {stats['std']:.3f}"
+
+
+def read_summary_txt(path: pathlib.Path) -> dict:
+    out = {}
+    for line in path.read_text().splitlines():
+        metric, rest = line.split(":", 1)
+        out[metric.strip()] = {
+            kv.split("=")[0]: float(kv.split("=")[1]) for kv in rest.split()
+        }
+    return out
+
+
+def main():
+    rows = {}
+    # baseline from runs/quality (r2 run)
+    qsum = REPO / "runs/quality/eval/quality/metrics_summary.txt"
+    qinfo = json.loads((REPO / "runs/quality/run_info.json").read_text())
+    if qsum.exists():
+        rows["baseline"] = {
+            "row": "baseline",
+            "epochs": qinfo["epochs"],
+            "run_dir": qinfo["run_dir"],
+            **read_summary_txt(qsum),
+        }
+    rows_json = REPO / "runs/results/rows.json"
+    if rows_json.exists():
+        for r in json.loads(rows_json.read_text()):
+            rows[r["row"]] = r
+
+    lines = [
+        "# RESULTS — measured quality + scale evidence (round 3)",
+        "",
+        "All numbers are measured end-to-end on the single real TPU v5e chip",
+        "with this framework's own CLIs (`scripts/quality_run.py` rows via",
+        "`scripts/results_run.py`): synthetic phantom k-space -> preprocessing",
+        "-> conv-AE pretrain -> modulated-SIREN training -> chunked metric",
+        "sweep. fastMRI itself needs a license + egress, so the reference's",
+        "absolute numbers are NOT directly comparable — phantoms are smoother",
+        "(higher PSNR) and the training corpus is smaller. What IS comparable,",
+        "and what the reference's table is really read for, is the",
+        "*ordering and spread of the ablations under an identical protocol*,",
+        "plus the numerical-parity proof in `PARITY.md` (weights-transplant",
+        "tests against the actual torch reference, forward max-abs-diff",
+        "2.6e-8) showing both stacks compute the same function.",
+        "",
+        "Protocol per row: same phantom dataset (24 train / 4 val / 12 eval",
+        "volumes x 4 slices, 256x256), same seed, same budget"
+        f" ({rows.get('baseline', {}).get('epochs', 600)} epochs, batch 400,"
+        " Adam 1e-4),",
+        "same pretrained conv AE (except the vgg row, which pretrains its own",
+        "VGG16 AE in-framework — the reference downloads ImageNet weights,",
+        "`vgg.py:325-363`; no egress here). Eval: 48 slices, PSNR/SSIM/NRMSE",
+        "with the reference's joint-data-range metric definitions.",
+        "",
+        "## Ablations (our measured vs reference published)",
+        "",
+        "| Row | PSNR (ours) | SSIM (ours) | NRMSE (ours) | PSNR (ref) | SSIM (ref) | NRMSE (ref) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    order = ["baseline", "edge", "morlet", "residual", "vgg", "perceptual",
+             "acc_005_8", "acc_01_6", "acc_02_4"]
+    for name in order:
+        r = rows.get(name)
+        ref = REF_ROWS.get(name, ("—",) * 4)
+        lines.append(
+            f"| {ROW_LABEL[name]} | {fmt(r.get('PSNR') if r else None)} | "
+            f"{fmt(r.get('SSIM') if r else None)} | "
+            f"{fmt(r.get('NRMSE') if r else None)} | "
+            f"{ref[0]} | {ref[1]} | {ref[2]} |"
+        )
+    lines += [
+        "",
+        "Reference sources: `/root/reference/README.md:34-41,58-62`.",
+        "Per-row commands and run dirs: `runs/results/rows.json`;",
+        "raw artifacts under `runs/results/<row>/` (text artifacts committed,",
+        "binaries gitignored). Reproduce any row with the overrides recorded",
+        "in its `rows.json` entry (they are literal `--set` arguments).",
+        "",
+    ]
+
+    sweep = REPO / "runs/results/sweep940/sweep940.json"
+    if sweep.exists():
+        s = json.loads(sweep.read_text())
+        lines += [
+            "## 940-file validation sweep (reference scale)",
+            "",
+            f"The reference's metric pass covers up to 940 fastMRI FLAIR",
+            f"slices at 320x320 (`test_mod_siren.py:175-255`). Executed here",
+            f"on {s['slices']} synthetic {s['image_size']}x{s['image_size']}",
+            "slices through the chunked jitted pipeline on one chip:",
+            "",
+            f"- unsharded sweep: **{s['slices']} slices in"
+            f" {s['unsharded_seconds']}s ="
+            f" {s['unsharded_slices_per_sec']:.2f} slices/s**"
+            f" (chunk={s['eval_chunk']})",
+            f"- `--shard 0:2` + `--shard 1:2` + `--merge-shards`: merged"
+            " summary and per-file rows are EXACTLY equal to the unsharded"
+            " artifacts (asserted by `scripts/sweep940.py` on the real",
+            " artifacts, not a unit test)",
+            f"- PSNR {s['summary']['PSNR']['mean']:.3f} ±"
+            f" {s['summary']['PSNR']['std']:.3f} across the sweep"
+            " (checkpoint trained at 256x256, evaluated at 320x320 —"
+            " the patch pipeline is resolution-agnostic)",
+            "",
+        ]
+
+    lines += [
+        "## Throughput readings",
+        "",
+        "Committed in `benchmarks/README.md` (train-step samples/s for the",
+        "Flax-autodiff vs fused-Pallas paths at B=400 and B=4096; eval-sweep",
+        "slices/s chunked vs per-slice vs Flax; eval-kernel schedule sweep +",
+        "roofline). Headline single-chip eval kernel number: `BENCH_r0*.json`.",
+        "",
+    ]
+
+    (REPO / "RESULTS.md").write_text("\n".join(lines))
+    print(f"wrote RESULTS.md ({len(rows)} measured rows)")
+
+
+if __name__ == "__main__":
+    main()

@@ -66,3 +66,15 @@ def test_fast_cos_accuracy():
     x = jnp.linspace(-50.0, 50.0, 200001)
     err = np.abs(np.asarray(fast_cos(x)) - np.cos(np.asarray(x, np.float64)))
     assert err.max() < 5e-5
+
+
+def test_fast_sin7_bf16_accuracy():
+    """bf16 polynomial tail: bounded by bf16 rounding of the reduced
+    argument (~eps(pi) = 0.0157 plus accumulation), not by the minimax."""
+    from mri_inr_tpu.ops.fast_math import fast_sin7_bf16
+
+    x = jnp.linspace(-50.0, 50.0, 200001, dtype=jnp.float32)
+    err = np.abs(
+        np.asarray(fast_sin7_bf16(x), np.float64) - np.sin(np.asarray(x, np.float64))
+    )
+    assert err.max() < 0.05

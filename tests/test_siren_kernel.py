@@ -109,3 +109,20 @@ def test_int8_batch_padding(setup):
     np.testing.assert_allclose(
         np.asarray(out_small), np.asarray(out_full[:5]), atol=1e-6
     )
+
+
+def test_sin_bf16_schedule_matches(setup):
+    """The packed-bf16 sine epilogue (`sin_bf16`) stays within the bf16
+    noise envelope of the standard schedule."""
+    from mri_inr_tpu.models.modulated_siren import coordinate_grid
+
+    model, params, tiles = setup
+    latent = model.apply({"params": params}, tiles, method=model.encode)
+    kp = siren_kernel.extract_kernel_params(params, coordinate_grid(24))
+    ref = siren_kernel.fused_siren_forward(
+        kp, latent.astype(jnp.float32), interpret=True, sin7=True
+    )
+    out = siren_kernel.fused_siren_forward(
+        kp, latent.astype(jnp.float32), interpret=True, sin_bf16=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
