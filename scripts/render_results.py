@@ -160,6 +160,14 @@ def main():
         "slices/s chunked vs per-slice vs Flax; eval-kernel schedule sweep +",
         "roofline). Headline single-chip eval kernel number: `BENCH_r0*.json`.",
         "",
+        "Caveat on every `vs_baseline` multiplier quoted from `bench.py`:",
+        "the reference publishes NO throughput numbers, so the denominator is",
+        "an analytic estimate — ~377 MFLOP/patch at 25% fp16 utilization of",
+        "an A100 = 1.0e8 px/s (`bench.py:17-21,30`). The multiplier moves",
+        "1:1 with that utilization assumption; the absolute px/s and TF/s",
+        "numbers (and the roofline vs the v5e's own 197 TF/s bf16 peak) are",
+        "measured and assumption-free.",
+        "",
     ]
 
     (REPO / "RESULTS.md").write_text("\n".join(lines))

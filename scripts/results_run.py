@@ -46,6 +46,11 @@ def ensure_acc_data(stamps: dict) -> dict:
     data has only the reference's default (0.05, 6) / (0.1, 6) masks;
     acceleration rows also need (0.05, 8) and (0.2, 4))."""
     sys.path.insert(0, str(REPO))
+    # the runner's own process never needs the chip (training/eval are
+    # subprocesses) — keep preprocessing on CPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from mri_inr_tpu.data.preprocessing import process_files
 
     acc_stamps = {}

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--slices", type=int, default=4)
     ap.add_argument("--size", type=int, default=320)
     ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--datagen-only", action="store_true",
+                    help="generate + preprocess the 940-slice set, then exit "
+                    "(runs on CPU so it can overlap chip work)")
     args = ap.parse_args()
 
     model_dir = args.model_dir or str(
@@ -62,6 +65,11 @@ def main():
     sys.path.insert(0, str(REPO))
     t0 = time.time()
     if not (data / "processed" / "metadata.csv").exists():
+        # datagen always on CPU: the synthetic FFT/normalize pipeline is not
+        # the thing being measured, and this lets datagen overlap chip work
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         from mri_inr_tpu.data import synthetic
         from mri_inr_tpu.data.preprocessing import process_files
 
@@ -74,6 +82,8 @@ def main():
     gen_secs = time.time() - t0
     print(f"data ready: {args.files * args.slices} slices ({gen_secs:.0f}s)",
           flush=True)
+    if args.datagen_only:
+        return
 
     common = [
         sys.executable, "test_mod_siren.py",
