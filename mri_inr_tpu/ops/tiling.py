@@ -116,16 +116,30 @@ def _fold(
     nv, nh = grid
     pad = (kernel - stride) // 2
     out_h, out_w = nv * stride, nh * stride
+    canvas = _fold_canvas(patches, nv, nh, kernel, stride)
+    return canvas[pad : pad + out_h, pad : pad + out_w]
+
+
+def _fold_canvas(
+    patches: jax.Array, nv: int, nh: int, kernel: int, stride: int
+) -> jax.Array:
+    """Uncropped overlap-add canvas: patch (r, c) occupies canvas rows
+    ``r*stride .. r*stride + kernel``. Scatter-free parity decomposition
+    when ``kernel <= 2*stride``; returns at least
+    (nv*stride + kernel - stride, nh*stride + kernel - stride) rows/cols
+    (parity path allocates (stride*(nv+1), stride*(nh+1)))."""
     patches = patches.reshape(nv, nh, kernel, kernel)
 
     if kernel > 2 * stride:  # general (unused by the shipped geometries)
-        canvas = jnp.zeros((out_h + 2 * pad, out_w + 2 * pad), patches.dtype)
+        pad2 = kernel - stride
+        canvas = jnp.zeros(
+            (nv * stride + pad2, nh * stride + pad2), patches.dtype
+        )
         rows = _window_indices(nv, kernel, stride)
         cols = _window_indices(nh, kernel, stride)
-        canvas = canvas.at[
+        return canvas.at[
             rows[:, None, :, None], cols[None, :, None, :]
         ].add(patches)
-        return canvas[pad : pad + out_h, pad : pad + out_w]
 
     two_s = 2 * stride
     big = jnp.zeros((stride * (nv + 1), stride * (nh + 1)), patches.dtype)
@@ -148,7 +162,7 @@ def _fold(
                 + dense,
                 (a * stride, b * stride),
             )
-    return big[pad : pad + out_h, pad : pad + out_w]
+    return big
 
 
 @functools.lru_cache(maxsize=None)

@@ -40,12 +40,11 @@ def _local_fold_padded(
     is the only sharded axis)."""
     pad = (kernel - stride) // 2
     out_h, out_w = nv * stride, nh * stride
-    canvas = jnp.zeros((out_h + 2 * pad, out_w + 2 * pad), patches.dtype)
-    rows = tiling._window_indices(nv, kernel, stride)
-    cols = tiling._window_indices(nh, kernel, stride)
-    patches = patches.reshape(nv, nh, kernel, kernel)
-    canvas = canvas.at[rows[:, None, :, None], cols[None, :, None, :]].add(patches)
-    return canvas[:, pad : pad + out_w]
+    # scatter-free parity canvas (see tiling._fold_canvas): patch (r, c)
+    # occupies canvas rows r*stride..+kernel, matching this function's
+    # coordinate contract, so the vertical halo is rows [0, out_h + 2*pad)
+    canvas = tiling._fold_canvas(patches, nv, nh, kernel, stride)
+    return canvas[: out_h + 2 * pad, pad : pad + out_w]
 
 
 def _exchange_halos(canvas: jax.Array, pad: int, axis: str) -> jax.Array:
