@@ -75,6 +75,21 @@ def save_state(run_dir: str | pathlib.Path, step: int, state) -> pathlib.Path:
     return path
 
 
+def with_default_sharding(abstract_tree):
+    """Attach a concrete single-device sharding to every leaf of a
+    ``jax.eval_shape``-abstract pytree. Orbax refuses to restore into
+    sharding-less abstract arrays, and checkpoints saved on one platform
+    (TPU) carry device metadata that cannot resolve on another (CPU) —
+    pinning the default device makes restores platform-portable."""
+    import jax
+
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sharding),
+        abstract_tree,
+    )
+
+
 def restore_state(run_dir: str | pathlib.Path, step: int, abstract_state):
     """Restore into the structure of ``abstract_state`` (a concrete or
     ``jax.eval_shape``-abstract train-state pytree)."""

@@ -73,11 +73,12 @@ def train_and_eval(
     train_overrides: list[str],
     eval_overrides: list[str],
     encoder_ckpt: str | None,
+    plat: list[str],
 ) -> dict:
     row_dir = ROOT / name
     t0 = time.time()
     train_args = [
-        sys.executable, "train_mod_siren.py",
+        sys.executable, "train_mod_siren.py", *plat,
         "--set", f"data.train.dataset={stamps['train']}",
         "--set", f"data.val.dataset={stamps['val']}",
         "--set", "data.train.max_slice_num=100",
@@ -97,7 +98,7 @@ def train_and_eval(
 
     t1 = time.time()
     sh([
-        sys.executable, "test_mod_siren.py",
+        sys.executable, "test_mod_siren.py", *plat,
         "--set", f"data.dataset={stamps['eval']}",
         "--set", f"data.model_path={run_dir}",
         "--set", "data.batch_patches=512",
@@ -128,11 +129,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=600)
     ap.add_argument("--ae-epochs", type=int, default=30)
+    ap.add_argument("--platform", default=None,
+                    help="forwarded to every CLI (e.g. cpu for a dry run)")
     ap.add_argument(
         "--rows",
-        default="morlet,edge,residual,vgg,perceptual,acc_005_8,acc_01_6",
+        default="morlet,edge,residual,vgg,perceptual,acc_005_8,acc_01_6,acc_02_4",
     )
     args = ap.parse_args()
+    plat = ["--platform", args.platform] if args.platform else []
 
     ROOT.mkdir(parents=True, exist_ok=True)
     stamps = {
@@ -178,7 +182,7 @@ def main():
         vgg_dir = ROOT / "encoder_vgg"
         vgg_ckpt = vgg_dir / f"vgg_autoencoder_epoch_{args.ae_epochs - 1:05d}"
         if not vgg_ckpt.exists():
-            sh([sys.executable, "train_encoder.py",
+            sh([sys.executable, "train_encoder.py", *plat,
                 "--dataset", stamps["train"], "--output", str(vgg_dir),
                 "--model", "vgg", "--epochs", str(args.ae_epochs),
                 "--batch-size", "256"])
@@ -192,7 +196,7 @@ def main():
         perc_dir = ROOT / "encoder_perceptual"
         perc_ckpt = perc_dir / f"perceptual_autoencoder_epoch_{args.ae_epochs - 1:05d}"
         if not perc_ckpt.exists():
-            sh([sys.executable, "train_encoder.py",
+            sh([sys.executable, "train_encoder.py", *plat,
                 "--dataset", stamps["train"], "--output", str(perc_dir),
                 "--model", "perceptual", "--epochs", str(args.ae_epochs),
                 "--batch-size", "1024"])
@@ -244,6 +248,7 @@ def main():
             spec["train_overrides"],
             spec["eval_overrides"],
             spec["encoder"],
+            plat,
         )
         save()
         print(f"row {name} done: {rows_done[name]}", flush=True)

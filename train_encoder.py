@@ -163,8 +163,10 @@ def _evaluate(args, model, patch: int, has_batch_stats: bool):
     from mri_inr_tpu.utils.visualization import save_image_comparison
 
     sample_x = jnp.zeros((1, patch, patch), jnp.float32)
-    abstract = jax.eval_shape(
-        lambda: model.init(jax.random.key(0), sample_x)
+    from mri_inr_tpu.train.checkpoint import with_default_sharding
+
+    abstract = with_default_sharding(
+        jax.eval_shape(lambda: model.init(jax.random.key(0), sample_x))
     )
     with ocp.StandardCheckpointer() as ckptr:
         variables = ckptr.restore(

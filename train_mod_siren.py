@@ -137,12 +137,14 @@ def main():
             ae = VGGAutoencoder()
         else:
             ae = ConvAutoencoder(latent_dim=mcfg.latent_dim)
-        abstract = jax.eval_shape(
-            lambda: ae.init(
-                jax.random.key(0),
-                jnp.zeros((2, mcfg.outer_patch_size, mcfg.outer_patch_size)),
-            )
-        )["params"]
+        abstract = ckpt_lib.with_default_sharding(
+            jax.eval_shape(
+                lambda: ae.init(
+                    jax.random.key(0),
+                    jnp.zeros((2, mcfg.outer_patch_size, mcfg.outer_patch_size)),
+                )
+            )["params"]
+        )
         import orbax.checkpoint as ocp
 
         with ocp.StandardCheckpointer() as ckptr:
