@@ -236,22 +236,30 @@ def main():
         encoder=str(conv_ae),
     )
 
+    failed = []
     for name in wanted:
         if name in rows_done:
             print(f"row {name}: already done, skipping", flush=True)
             continue
         spec = specs[name]
-        rows_done[name] = train_and_eval(
-            name,
-            spec.get("stamps", stamps),
-            args.epochs,
-            spec["train_overrides"],
-            spec["eval_overrides"],
-            spec["encoder"],
-            plat,
-        )
+        try:
+            rows_done[name] = train_and_eval(
+                name,
+                spec.get("stamps", stamps),
+                args.epochs,
+                spec["train_overrides"],
+                spec["eval_overrides"],
+                spec["encoder"],
+                plat,
+            )
+        except Exception as exc:  # keep later rows alive; rerun picks it up
+            failed.append(name)
+            print(f"row {name} FAILED: {exc}", flush=True)
+            continue
         save()
         print(f"row {name} done: {rows_done[name]}", flush=True)
+    if failed:
+        print(f"FAILED rows (rerun to retry): {failed}", flush=True)
 
     save()
     print(f"all rows written to {rows_out_path}", flush=True)

@@ -412,3 +412,25 @@ def test_fused_kernel_vs_torch(ref, tmp_path):
     diff = np.abs(ours - theirs).max()
     # fast_sin polynomial (|err| <= 5.9e-6) is the dominant term
     assert diff < 5e-4, f"fused kernel vs torch: max abs diff {diff:.3e}"
+
+
+def test_edge_loss_parity(ref):
+    """Sobel edge loss vs the reference ``EdgeLoss``
+    (``src/util/losses.py:60-121``): same kernels, same zero padding, same
+    MSE + 0.5*(MSE_gx + MSE_gy) composition."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from mri_inr_tpu.train import losses as our_losses
+
+    ref_losses = importlib.import_module("src.util.losses")
+    rng = np.random.default_rng(21)
+    x = rng.random((6, 24, 24), dtype=np.float32)
+    y = rng.random((6, 24, 24), dtype=np.float32)
+
+    ours = float(our_losses.edge_loss(jnp.asarray(x), jnp.asarray(y)))
+    ref_loss = ref_losses.EdgeLoss(torch.nn.MSELoss(), torch.device("cpu"))
+    with torch.no_grad():
+        theirs = float(ref_loss(torch.from_numpy(x), torch.from_numpy(y)))
+    assert abs(ours - theirs) < 1e-5, (ours, theirs)
