@@ -4,7 +4,8 @@ poly), plus a pure-MXU calibration run (activation = identity) that anchors
 the roofline argument in benchmarks/README.md.
 
 Usage: python benchmarks/bench_sweep.py [configs...]
-  config tokens: bb8.s1.sin9 | bb8.s2.sin7 | bb8.s1.ident | ...
+  config tokens: bb8.s1.sin9 | bb8.s2.sin7 | bb8.s1.ident | bb8.s1.sin7.k2 ...
+  (optional trailing .kN = ksplit cross-phase pipelining)
   default sweep: bb8.s1.sin9 bb8.s1.sin7 bb8.s2.sin7 bb16.s1.sin7 bb8.s1.ident
 """
 
@@ -33,11 +34,11 @@ latents = model.apply({"params": params}, tiles, method=model.encode).astype(jnp
 latents = jax.block_until_ready(latents)
 
 
-def timed(tag, bb, streams, sin7, sin_bf16=False):
+def timed(tag, bb, streams, sin7, sin_bf16=False, ksplit=1):
     def body(c, i):
         out = sk.fused_siren_forward(
             kp, latents + i * 1e-6, block_b=bb, streams=streams, sin7=sin7,
-            sin_bf16=sin_bf16,
+            sin_bf16=sin_bf16, ksplit=ksplit,
         )
         return c + out.mean(), None
 
@@ -64,19 +65,21 @@ def main():
     orig_sin = sk._poly_sin
     orig_sin7 = sk.fast_sin7
     for tok in configs:
-        bb_s, st_s, poly = tok.split(".")
+        parts = tok.split(".")
+        bb_s, st_s, poly = parts[:3]
         bb, st = int(bb_s[2:]), int(st_s[1:])
+        ks = int(parts[3][1:]) if len(parts) > 3 else 1
         if poly == "ident":
             # pure-MXU calibration: activation becomes a no-op; result is
             # wrong but the schedule/DMA structure is identical
             sk._poly_sin = lambda x: x
             try:
-                timed(tok, bb, st, sin7=False)
+                timed(tok, bb, st, sin7=False, ksplit=ks)
             finally:
                 sk._poly_sin = orig_sin
         elif poly == "sin7b":
             # bf16 polynomial tail + bf16 FiLM multiply (packed-VPU probe)
-            timed(tok, bb, st, sin7=False, sin_bf16=True)
+            timed(tok, bb, st, sin7=False, sin_bf16=True, ksplit=ks)
         elif poly == "sin7ne":
             # round-to-nearest-even range reduction: one hardware round vs
             # the floor(+0.5) pair, if Mosaic lowers lax.round natively
@@ -97,11 +100,11 @@ def main():
 
             sk.fast_sin7 = sin7_ne
             try:
-                timed(tok, bb, st, sin7=True)
+                timed(tok, bb, st, sin7=True, ksplit=ks)
             finally:
                 sk.fast_sin7 = orig_sin7
         else:
-            timed(tok, bb, st, sin7=(poly == "sin7"))
+            timed(tok, bb, st, sin7=(poly == "sin7"), ksplit=ks)
 
 
 if __name__ == "__main__":

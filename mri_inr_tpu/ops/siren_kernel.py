@@ -157,7 +157,6 @@ def _kernel(
     base_ref,
     sw_ref,
     sb_ref,
-    lw_ref,
     lb_ref,
     out_ref,
     *,
@@ -167,16 +166,28 @@ def _kernel(
     streams: int,
     sin7: bool = False,
     sin_bf16: bool = False,
+    ksplit: int = 1,
 ):
-    """One batch-block forward over precomputed modulations. ``streams=2``
-    splits the block's stacked activation into independent row-halves and
-    interleaves their layer chains — the sine polynomial (VPU) of one
-    stream overlaps the matmul (MXU) of the other, hiding the
-    otherwise-serialized VPU phase. ``sin7`` selects the degree-7
-    polynomial (|err| 2.6e-4, still 15x under bf16 resolution) — one VPU
-    FMA cheaper per element on a VPU-bound chain. ``sin_bf16`` evaluates
-    the polynomial tail + FiLM multiply in bf16 (packed-VPU experiment;
-    ~1e-2 absolute activation error, see fast_math.fast_sin7_bf16)."""
+    """One batch-block forward over precomputed modulations.
+
+    The caller (:func:`fused_siren_forward`) pre-multiplies the LAST
+    layer's modulation block by the final projection weights, so the
+    kernel's epilogue is ``sin(sum_h(act * modproj) + b)`` — the separate
+    FiLM multiply, bf16 round-trip, and projection-weight multiply of the
+    final layer collapse into the one multiply that was needed anyway.
+
+    ``streams=2`` splits the block's stacked activation into independent
+    row-halves and interleaves their layer chains — the sine polynomial
+    (VPU) of one stream overlaps the matmul (MXU) of the other.
+    ``ksplit=k`` instead pipelines WITHIN the chain: each hidden layer's
+    input activation is produced in k column slices, and slice j's matmul
+    contribution (MXU) is issued before slice j+1's sine+FiLM epilogue
+    (VPU) — cross-phase overlap without data independence, exploiting
+    matmul K-decomposition ``x @ W = sum_j x[:, j] @ W[j, :]``.
+    ``sin7`` selects the degree-7 polynomial (|err| 2.6e-4, still 15x
+    under bf16 resolution). ``sin_bf16`` evaluates the polynomial tail +
+    FiLM multiply in bf16 (packed-VPU; ~1e-2 absolute activation error,
+    see fast_math.fast_sin7_bf16)."""
     tb = mods_ref.shape[0]
     seq, hidden = base_ref.shape
     sin = fast_sin7_bf16 if sin_bf16 else (fast_sin7 if sin7 else _poly_sin)
@@ -190,16 +201,23 @@ def _kernel(
     # SIREN layer 0 output (precomputed base), modulated per patch; activations
     # held in bf16 (matmul input dtype) — accumulation stays f32 per matmul.
     # Mixed slice+newaxis indexing lowers to a gather Mosaic rejects, so
-    # stream rows are cut with lax.slice_in_dim and broadcast via reshape.
+    # stream rows are cut with lax.slice and broadcast via reshape.
     sub = tb // streams
+    hk = hidden // ksplit
 
-    def mod_rows(layer, s):
+    def mod_cols(layer, s, k, width=None):
+        """(sub, 1, width) slice of stream s's modulations for ``layer``,
+        columns [k*hk, k*hk + width) (width defaults to hk)."""
+        width = hk if width is None else width
         rows = jax.lax.slice(
             mods_ref[:],
-            (s * sub, layer * hidden),
-            ((s + 1) * sub, (layer + 1) * hidden),
+            (s * sub, layer * hidden + k * hk),
+            ((s + 1) * sub, layer * hidden + k * hk + width),
         )
-        return rows.reshape(sub, 1, hidden)
+        return rows.reshape(sub, 1, width)
+
+    def mod_rows(layer, s):
+        return mod_cols(layer, s, 0, width=hidden)
 
     base = base_ref[:].reshape(1, seq, hidden)
     xs = [
@@ -211,38 +229,84 @@ def _kernel(
     # f32 product would immediately be cast down for the next matmul)
     mod_dtype = jnp.bfloat16 if sin_bf16 else jnp.float32
 
-    for i in range(num_layers - 1):
-        # SIREN hidden layer i+1, one matmul per stream; the streams are
-        # data-independent so Mosaic overlaps stream s's activation (VPU)
-        # with stream s+1's matmul (MXU).
-        pres = [
-            jnp.dot(x, sw_ref[i], preferred_element_type=jnp.float32) for x in xs
-        ]
-        xs = [
-            (
-                act(pre + sb_ref[i]).reshape(sub, seq, hidden)
-                * mod_rows(i + 1, s).astype(mod_dtype)
-            )
-            .reshape(sub * seq, hidden)
-            .astype(jnp.bfloat16)
-            for s, pre in enumerate(pres)
-        ]
+    # hidden layers 1..L-2: matmul + sine + FiLM, keeping the result as the
+    # next matmul's bf16 input. The LAST hidden layer (L-1) is peeled off
+    # below: its epilogue feeds the projection reduction directly in f32.
+    pres = [
+        jnp.dot(x, sw_ref[0], preferred_element_type=jnp.float32) for x in xs
+    ]
+    for i in range(num_layers - 2):
+        if ksplit == 1:
+            xs = [
+                (
+                    act(pre + sb_ref[i]).reshape(sub, seq, hidden)
+                    * mod_rows(i + 1, s).astype(mod_dtype)
+                )
+                .reshape(sub * seq, hidden)
+                .astype(jnp.bfloat16)
+                for s, pre in enumerate(pres)
+            ]
+            pres = [
+                jnp.dot(x, sw_ref[i + 1], preferred_element_type=jnp.float32)
+                for x in xs
+            ]
+        else:
+            # K-decomposed: produce the activation in column slices and
+            # issue each slice's contribution to the NEXT matmul as soon
+            # as it exists — slice j+1's VPU epilogue runs under slice j's
+            # MXU matmul.
+            nxt = []
+            for s, pre in enumerate(pres):
+                pre3 = pre.reshape(sub, seq, hidden)
+                acc = None
+                for k in range(ksplit):
+                    cols = jax.lax.slice(
+                        pre3, (0, 0, k * hk), (sub, seq, (k + 1) * hk)
+                    )
+                    bias = jax.lax.slice(
+                        sb_ref[i], (0, k * hk), (1, (k + 1) * hk)
+                    ).reshape(1, 1, hk)
+                    a = (
+                        act(cols + bias)
+                        * mod_cols(i + 1, s, k).astype(mod_dtype)
+                    ).reshape(sub * seq, hk).astype(jnp.bfloat16)
+                    w_rows = jax.lax.slice(
+                        sw_ref[i + 1], (k * hk, 0), ((k + 1) * hk, hidden)
+                    )
+                    part = jnp.dot(
+                        a, w_rows, preferred_element_type=jnp.float32
+                    )
+                    acc = part if acc is None else acc + part
+                nxt.append(acc)
+            pres = nxt
 
-    # final projection (H -> 1) as a VPU reduction, then sine — ALWAYS sine,
-    # even for Morlet models (the reference's last Siren defaults to Sine,
-    # modulated_siren.py:211-213); single full-block store (Mosaic rejects
-    # strided sub-block stores on the non-128-aligned 576-lane output)
-    # output-layer sine stays fp32 even under sin_bf16 (it writes the
-    # final f32 image values; one (tb, seq) tensor — negligible VPU cost)
+    # final hidden layer epilogue + projection: modproj (= mod * last_w,
+    # folded by the caller) multiplies the activation once, then an H -> 1
+    # VPU reduction; then the output sine — ALWAYS Sine, even for Morlet
+    # models (the reference's last Siren defaults to Sine,
+    # modulated_siren.py:211-213). Single full-block store (Mosaic rejects
+    # strided sub-block stores on the non-128-aligned 576-lane output);
+    # the reduction and output sine stay fp32 (final image values).
     sin_last = fast_sin7 if (sin7 or sin_bf16) else _poly_sin
     act_last = lambda pre: sin_last(pre if w0 == 1.0 else w0 * pre)
-    outs = [
-        act_last(
-            jnp.sum(x.astype(jnp.float32) * lw_ref[:], axis=-1).reshape(sub, seq)
-            + lb_ref[0, 0]
-        )
-        for x in xs
-    ]
+    i_last = num_layers - 2
+    outs = []
+    for s, pre in enumerate(pres):
+        pre3 = pre.reshape(sub, seq, hidden)
+        r = None
+        for k in range(ksplit):
+            cols = jax.lax.slice(
+                pre3, (0, 0, k * hk), (sub, seq, (k + 1) * hk)
+            )
+            bias = jax.lax.slice(
+                sb_ref[i_last], (0, k * hk), (1, (k + 1) * hk)
+            ).reshape(1, 1, hk)
+            prod = act(cols + bias).astype(jnp.float32) * mod_cols(
+                num_layers - 1, s, k
+            )
+            part = jnp.sum(prod, axis=-1)  # (sub, seq) f32
+            r = part if r is None else r + part
+        outs.append(act_last(r + lb_ref[0, 0]))
     out_ref[:] = outs[0] if streams == 1 else jnp.concatenate(outs, axis=0)
 
 
@@ -250,7 +314,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "num_layers", "w0", "activation", "block_b", "interpret", "streams",
-        "sin7", "sin_bf16",
+        "sin7", "sin_bf16", "ksplit",
     ),
 )
 def fused_siren_forward(
@@ -265,6 +329,7 @@ def fused_siren_forward(
     streams: int = 1,
     sin7: bool = False,
     sin_bf16: bool = False,
+    ksplit: int = 1,
 ) -> jax.Array:
     """(B, latent) latents -> (B, S) SIREN outputs, fully fused.
 
@@ -272,18 +337,33 @@ def fused_siren_forward(
     each block into independent row groups whose layer chains interleave;
     must divide ``block_b``. Measured on v5e the single-stream schedule is
     fastest (Mosaic does not co-issue the streams' MXU/VPU phases), so 1
-    is the default; the knob is kept for other TPU generations.
+    is the default; the knob is kept for other TPU generations. ``ksplit``
+    pipelines each layer's sine epilogue against the next matmul in
+    column slices (see :func:`_kernel`); must divide the hidden width
+    into lane-aligned (128x) slices.
     """
     batch = latents.shape[0]
     seq, hidden = kp.base.shape
     if block_b % streams:
         raise ValueError(f"{streams=} must divide {block_b=}")
+    if hidden % ksplit or (ksplit > 1 and (hidden // ksplit) % 128):
+        raise ValueError(f"{ksplit=} must cut hidden={hidden} into 128-multiples")
     padded = -(-batch // block_b) * block_b
     if padded != batch:
         latents = jnp.pad(latents, ((0, padded - batch), (0, 0)))
 
     # modulator MLP outside the kernel: full-batch MXU-saturating matmuls
     mods = compute_modulations(kp, latents, num_layers=num_layers)
+    # fold the final projection weights into the last layer's modulations:
+    # out = sum_h act_h * (mod_h * lw_h) — one multiply instead of the
+    # kernel's FiLM multiply + bf16 round-trip + projection multiply
+    mods = jnp.concatenate(
+        [
+            mods[:, : (num_layers - 1) * hidden],
+            mods[:, (num_layers - 1) * hidden :] * kp.last_w,
+        ],
+        axis=1,
+    )
 
     grid = (padded // block_b,)
     full = lambda *shape: pl.BlockSpec(
@@ -300,6 +380,7 @@ def fused_siren_forward(
             streams=streams,
             sin7=sin7,
             sin_bf16=sin_bf16,
+            ksplit=ksplit,
         ),
         out_shape=jax.ShapeDtypeStruct((padded, seq), jnp.float32),
         grid=grid,
@@ -309,7 +390,6 @@ def fused_siren_forward(
             full(seq, hidden),
             full(num_l, hidden, hidden),
             full(num_l, 1, hidden),
-            full(1, hidden),
             full(1, 1),
         ],
         out_specs=pl.BlockSpec(
@@ -327,7 +407,6 @@ def fused_siren_forward(
         kp.base,
         kp.s_w,
         kp.s_b,
-        kp.last_w,
         kp.last_b,
     )
     return out[:batch]
@@ -532,7 +611,7 @@ def pallas_available() -> bool:
 def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
                   interpret: bool = False, block_b: int = 8,
                   quantized: bool = False, sin7: bool = True,
-                  sin_bf16: bool = False):
+                  sin_bf16: bool = False, ksplit: int = 1):
     """(params, tiles) -> (B, siren, siren) forward; the fused Pallas path
     when requested and supported, else the Flax path. Drop-in for eval/
     reconstruction call sites (``SliceReconstructor``). ``quantized``
@@ -543,7 +622,7 @@ def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
     if use_pallas and (interpret or pallas_available()):
         return functools.partial(
             _fused_apply, model, block_b=block_b, interpret=interpret,
-            quantized=quantized, sin7=sin7, sin_bf16=sin_bf16,
+            quantized=quantized, sin7=sin7, sin_bf16=sin_bf16, ksplit=ksplit,
         )
     return functools.partial(_flax_apply, model)
 
@@ -553,10 +632,10 @@ def _flax_apply(model, params, tiles):
 
 
 def _fused_apply(model, params, tiles, *, block_b, interpret,
-                 quantized=False, sin7=True, sin_bf16=False):
+                 quantized=False, sin7=True, sin_bf16=False, ksplit=1):
     return fused_forward(
         model, params, tiles, block_b=block_b, interpret=interpret,
-        quantized=quantized, sin7=sin7, sin_bf16=sin_bf16,
+        quantized=quantized, sin7=sin7, sin_bf16=sin_bf16, ksplit=ksplit,
     )
 
 
@@ -570,6 +649,7 @@ def fused_forward(
     quantized: bool = False,
     sin7: bool = True,
     sin_bf16: bool = False,
+    ksplit: int = 1,
 ) -> jax.Array:
     """Full flagship forward: XLA conv encoder -> fused Pallas
     modulator+SIREN -> (B, siren, siren). Drop-in for
@@ -606,7 +686,7 @@ def fused_forward(
     else:
         out = fused_siren_forward(
             kp, latent.astype(jnp.float32), sin7=sin7, sin_bf16=sin_bf16,
-            **common,
+            ksplit=ksplit, **common,
         )
     s = model.siren_patch_size
     return out.reshape(tiles.shape[0], s, s)

@@ -111,6 +111,29 @@ def test_int8_batch_padding(setup):
     )
 
 
+def test_ksplit_schedule_matches(setup):
+    """The K-decomposed cross-phase pipeline (`ksplit=2`) computes the same
+    function as the monolithic schedule (only the matmul accumulation order
+    differs)."""
+    model, params, tiles = setup
+    ref = model.apply({"params": params}, tiles, deterministic=True)
+    for ks in (2,):
+        out = siren_kernel.fused_forward(
+            model, params, tiles, interpret=True, ksplit=ks
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+        assert float(jnp.abs(out - ref).mean()) < 3e-3
+
+
+def test_ksplit_with_morlet_and_streams(setup):
+    _, params, tiles = setup
+    model = _model(activation="morlet")
+    ref = model.apply({"params": params}, tiles, deterministic=True)
+    out = siren_kernel.fused_forward(model, params, tiles, interpret=True,
+                                     ksplit=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
 def test_sin_bf16_schedule_matches(setup):
     """The packed-bf16 sine epilogue (`sin_bf16`) stays within the bf16
     noise envelope of the standard schedule."""
