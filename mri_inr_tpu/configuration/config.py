@@ -148,6 +148,14 @@ class EvalConfig:
     # metric-sweep slices scored per device dispatch (1 = per-slice loop);
     # amortizes host<->device round trips over the 940-file sweep
     eval_chunk: int = 8
+    # fused-kernel schedule knobs (measured tradeoffs in benchmarks/README.md):
+    # sin_bf16 evaluates the sine polynomial tail + FiLM multiply in bf16
+    # (~0.03 dB PSNR cost measured on the quality checkpoint); ksplit
+    # pipelines each layer's sine epilogue against the next matmul in K
+    # slices; quantized selects the int8-MXU kernel
+    sin_bf16: bool = False
+    ksplit: int = 1
+    quantized: bool = False
 
 
 @dataclass
