@@ -32,19 +32,24 @@ def mse(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def _sobel_maps(images: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Apply both Sobel kernels to a (B, H, W) batch via one grouped conv
-    (NHWC, SAME padding). Returns (grad_x, grad_y), each (B, H, W)."""
-    kernel = jnp.stack(
-        [jnp.asarray(SOBEL_X), jnp.asarray(SOBEL_Y)], axis=-1
-    )[:, :, None, :].astype(images.dtype)  # (3, 3, 1, 2) HWIO
-    out = jax.lax.conv_general_dilated(
-        images[..., None],  # NHWC
-        kernel,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return out[..., 0], out[..., 1]
+    """Apply both Sobel kernels to a (B, H, W) batch. Returns
+    (grad_x, grad_y), each (B, H, W), identical to a SAME-padded conv.
+
+    Implemented as shift-and-add over a zero-padded copy rather than
+    ``lax.conv_general_dilated``: the 3x3/2-channel conv composed with the
+    fused-Pallas train step's custom_vjp sent XLA:TPU's convolution passes
+    into a ~17-minute compile (measured on v5e via the axon relay; the
+    same step with MSE compiles in ~30 s). The separable form
+    ``sobel_x = [1,2,1]^T x [1,0,-1]`` needs 5 shifted adds per map and
+    compiles with the rest of the elementwise graph."""
+    p = jnp.pad(images, ((0, 0), (1, 1), (1, 1)))
+    # vertical smoothing [1,2,1] (shared by both kernels), full width
+    s = p[:, :-2, :] + 2.0 * p[:, 1:-1, :] + p[:, 2:, :]
+    # horizontal smoothing [1,2,1] on the raw pad, full height
+    t = p[:, :, :-2] + 2.0 * p[:, :, 1:-1] + p[:, :, 2:]
+    gx = s[:, :, :-2] - s[:, :, 2:]  # x-derivative [1,0,-1]
+    gy = t[:, :-2, :] - t[:, 2:, :]  # y-derivative (transposed kernel)
+    return gx, gy
 
 
 def edge_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
