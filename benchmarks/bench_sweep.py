@@ -34,11 +34,11 @@ latents = model.apply({"params": params}, tiles, method=model.encode).astype(jnp
 latents = jax.block_until_ready(latents)
 
 
-def timed(tag, bb, streams, sin7, sin_bf16=False, ksplit=1):
+def timed(tag, bb, streams, sin7, sin_bf16=False, sin5=False, ksplit=1):
     def body(c, i):
         out = sk.fused_siren_forward(
             kp, latents + i * 1e-6, block_b=bb, streams=streams, sin7=sin7,
-            sin_bf16=sin_bf16, ksplit=ksplit,
+            sin_bf16=sin_bf16, sin5=sin5, ksplit=ksplit,
         )
         return c + out.mean(), None
 
@@ -103,6 +103,8 @@ def main():
                 timed(tok, bb, st, sin7=True, ksplit=ks)
             finally:
                 sk.fast_sin7 = orig_sin7
+        elif poly == "sin5":
+            timed(tok, bb, st, sin7=False, sin5=True, ksplit=ks)
         else:
             timed(tok, bb, st, sin7=(poly == "sin7"), ksplit=ks)
 

@@ -154,6 +154,7 @@ class EvalConfig:
     # pipelines each layer's sine epilogue against the next matmul in K
     # slices; quantized selects the int8-MXU kernel
     sin_bf16: bool = False
+    sin5: bool = False
     ksplit: int = 1
     quantized: bool = False
 

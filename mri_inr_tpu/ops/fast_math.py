@@ -40,6 +40,15 @@ _D1 = -1.656675056348e-01
 _D2 = 7.958186419379e-03
 _D3 = -1.450852979995e-04
 
+# degree-5 odd minimax over [-pi, pi], |err| <= 7.0e-3 (~1.8x bf16
+# resolution): two FMAs cheaper than degree-9. Each polynomial FMA removed
+# is worth ~1.0 ms/call on the B=4096 eval kernel (measured v5e, see
+# benchmarks/README.md); the measured quality cost on the trained quality
+# checkpoint is ~0.05 dB PSNR — an opt-in speed mode, not the default.
+_E0 = 9.8444443e-01
+_E1 = -1.5347773e-01
+_E2 = 5.4669000e-03
+
 HALF_PI = 1.5707963267948966
 
 
@@ -80,6 +89,19 @@ def fast_sin7(x: jax.Array) -> jax.Array:
     p = _D2 + v2 * _D3
     p = _D1 + v2 * p
     p = _D0 + v2 * p
+    return (v * p).astype(dtype)
+
+
+def fast_sin5(x: jax.Array) -> jax.Array:
+    """Degree-5 polynomial sine, |err| <= 7.0e-3 — two FMAs cheaper than
+    :func:`fast_sin`; eval speed mode (`sin5` kernel knob), quality cost
+    measured in benchmarks/README.md."""
+    dtype = x.dtype
+    v = x.astype(jnp.float32)
+    v = v - TWO_PI * _fast_round(v * INV_TWO_PI)
+    v2 = v * v
+    p = _E1 + v2 * _E2
+    p = _E0 + v2 * p
     return (v * p).astype(dtype)
 
 

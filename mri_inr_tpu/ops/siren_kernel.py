@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mri_inr_tpu.ops.fast_math import fast_sin, fast_sin7, fast_sin7_bf16
+from mri_inr_tpu.ops.fast_math import (fast_sin, fast_sin5, fast_sin7,
+                                       fast_sin7_bf16)
 
 
 class SirenKernelParams(NamedTuple):
@@ -166,6 +167,7 @@ def _kernel(
     streams: int,
     sin7: bool = False,
     sin_bf16: bool = False,
+    sin5: bool = False,
     ksplit: int = 1,
 ):
     """One batch-block forward over precomputed modulations.
@@ -190,7 +192,14 @@ def _kernel(
     see fast_math.fast_sin7_bf16)."""
     tb = mods_ref.shape[0]
     seq, hidden = base_ref.shape
-    sin = fast_sin7_bf16 if sin_bf16 else (fast_sin7 if sin7 else _poly_sin)
+    if sin5:
+        sin = fast_sin5
+    elif sin_bf16:
+        sin = fast_sin7_bf16
+    elif sin7:
+        sin = fast_sin7
+    else:
+        sin = _poly_sin
 
     def act(pre):
         out = sin(pre if w0 == 1.0 else w0 * pre)
@@ -287,7 +296,9 @@ def _kernel(
     # modulated_siren.py:211-213). Single full-block store (Mosaic rejects
     # strided sub-block stores on the non-128-aligned 576-lane output);
     # the reduction and output sine stay fp32 (final image values).
-    sin_last = fast_sin7 if (sin7 or sin_bf16) else _poly_sin
+    # output sine stays at degree >= 7 even in sin5 mode: it produces the
+    # final image values and is one (tb, seq) tensor — negligible VPU cost
+    sin_last = fast_sin7 if (sin7 or sin_bf16 or sin5) else _poly_sin
     act_last = lambda pre: sin_last(pre if w0 == 1.0 else w0 * pre)
     i_last = num_layers - 2
     outs = []
@@ -314,7 +325,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "num_layers", "w0", "activation", "block_b", "interpret", "streams",
-        "sin7", "sin_bf16", "ksplit",
+        "sin7", "sin_bf16", "sin5", "ksplit",
     ),
 )
 def fused_siren_forward(
@@ -329,6 +340,7 @@ def fused_siren_forward(
     streams: int = 1,
     sin7: bool = False,
     sin_bf16: bool = False,
+    sin5: bool = False,
     ksplit: int = 1,
 ) -> jax.Array:
     """(B, latent) latents -> (B, S) SIREN outputs, fully fused.
@@ -380,6 +392,7 @@ def fused_siren_forward(
             streams=streams,
             sin7=sin7,
             sin_bf16=sin_bf16,
+            sin5=sin5,
             ksplit=ksplit,
         ),
         out_shape=jax.ShapeDtypeStruct((padded, seq), jnp.float32),
@@ -609,9 +622,9 @@ def pallas_available() -> bool:
 
 
 def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
-                  interpret: bool = False, block_b: int = 8,
+                  interpret: bool = False, block_b: int = 16,
                   quantized: bool = False, sin7: bool = True,
-                  sin_bf16: bool = False, ksplit: int = 1):
+                  sin_bf16: bool = False, sin5: bool = False, ksplit: int = 1):
     """(params, tiles) -> (B, siren, siren) forward; the fused Pallas path
     when requested and supported, else the Flax path. Drop-in for eval/
     reconstruction call sites (``SliceReconstructor``). ``quantized``
@@ -622,7 +635,8 @@ def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
     if use_pallas and (interpret or pallas_available()):
         return functools.partial(
             _fused_apply, model, block_b=block_b, interpret=interpret,
-            quantized=quantized, sin7=sin7, sin_bf16=sin_bf16, ksplit=ksplit,
+            quantized=quantized, sin7=sin7, sin_bf16=sin_bf16, sin5=sin5,
+            ksplit=ksplit,
         )
     return functools.partial(_flax_apply, model)
 
@@ -632,10 +646,12 @@ def _flax_apply(model, params, tiles):
 
 
 def _fused_apply(model, params, tiles, *, block_b, interpret,
-                 quantized=False, sin7=True, sin_bf16=False, ksplit=1):
+                 quantized=False, sin7=True, sin_bf16=False, sin5=False,
+                 ksplit=1):
     return fused_forward(
         model, params, tiles, block_b=block_b, interpret=interpret,
-        quantized=quantized, sin7=sin7, sin_bf16=sin_bf16, ksplit=ksplit,
+        quantized=quantized, sin7=sin7, sin_bf16=sin_bf16, sin5=sin5,
+        ksplit=ksplit,
     )
 
 
@@ -649,6 +665,7 @@ def fused_forward(
     quantized: bool = False,
     sin7: bool = True,
     sin_bf16: bool = False,
+    sin5: bool = False,
     ksplit: int = 1,
 ) -> jax.Array:
     """Full flagship forward: XLA conv encoder -> fused Pallas
@@ -686,7 +703,7 @@ def fused_forward(
     else:
         out = fused_siren_forward(
             kp, latent.astype(jnp.float32), sin7=sin7, sin_bf16=sin_bf16,
-            ksplit=ksplit, **common,
+            sin5=sin5, ksplit=ksplit, **common,
         )
     s = model.siren_patch_size
     return out.reshape(tiles.shape[0], s, s)

@@ -187,7 +187,11 @@ def main():
                 "--model", "vgg", "--epochs", str(args.ae_epochs),
                 "--batch-size", "256"])
         specs["vgg"] = dict(
-            train_overrides=["--set", "model.encoder_type=vgg"],
+            # Flax-autodiff path: conv-heavy graphs composed with the fused
+            # custom_vjp hit a pathological XLA:TPU compile (>27 min for the
+            # VGG16 trunk, measured; MSE/morlet compile in ~30 s)
+            train_overrides=["--set", "model.encoder_type=vgg",
+                             "--set", "training.use_pallas=false"],
             eval_overrides=["--set", "model.encoder_type=vgg"],
             encoder=str(vgg_ckpt),
         )
@@ -201,9 +205,12 @@ def main():
                 "--model", "perceptual", "--epochs", str(args.ae_epochs),
                 "--batch-size", "1024"])
         specs["perceptual"] = dict(
+            # Flax path for the same compile-pathology reason as vgg (the
+            # perceptual loss differentiates a 4-conv CNN per step)
             train_overrides=[
                 "--set", "training.criterion=perceptual",
                 "--set", f"training.perceptual_encoder_path={perc_ckpt}",
+                "--set", "training.use_pallas=false",
             ],
             eval_overrides=[],
             encoder=str(conv_ae),

@@ -143,8 +143,8 @@ def main():
     mesh = mesh_lib.make_mesh() if jax.local_device_count() > 1 else None
     reconstructor = SliceReconstructor(
         make_apply_fn(model, use_pallas=mcfg.use_pallas,
-                      sin_bf16=ecfg.sin_bf16, ksplit=ecfg.ksplit,
-                      quantized=ecfg.quantized),
+                      sin_bf16=ecfg.sin_bf16, sin5=ecfg.sin5,
+                      ksplit=ecfg.ksplit, quantized=ecfg.quantized),
         outer_patch_size=mcfg.outer_patch_size,
         inner_patch_size=mcfg.inner_patch_size,
         siren_patch_size=mcfg.siren_patch_size,

@@ -60,6 +60,15 @@ def test_fast_sin7_accuracy():
     assert err.max() < 3e-4
 
 
+def test_fast_sin5_accuracy():
+    from mri_inr_tpu.ops.fast_math import fast_sin5
+
+    x = jnp.linspace(-50.0, 50.0, 200001)
+    err = np.abs(np.asarray(fast_sin5(x)) - np.sin(np.asarray(x, np.float64)))
+    # degree-5 minimax bound 7.0e-3 (speed mode; ~1.8x bf16 resolution)
+    assert err.max() < 7.5e-3
+
+
 def test_fast_cos_accuracy():
     from mri_inr_tpu.ops.fast_math import fast_cos
 
