@@ -146,8 +146,11 @@ class EvalConfig:
     # patch count divisible by its size
     halo_fold: bool = False
     # metric-sweep slices scored per device dispatch (1 = per-slice loop);
-    # amortizes host<->device round trips over the 940-file sweep
-    eval_chunk: int = 8
+    # amortizes host<->device round trips over the 940-file sweep.
+    # Measured on the real chip (scripts/profile_eval.py): 16 -> 60.5
+    # slices/s, 32 -> 47 slices/s (per-chunk compute outgrows the RTT
+    # amortization); per-slice path 18 slices/s.
+    eval_chunk: int = 16
     # fused-kernel schedule knobs (measured tradeoffs in benchmarks/README.md):
     # sin_bf16 evaluates the sine polynomial tail + FiLM multiply in bf16
     # (~0.03 dB PSNR cost measured on the quality checkpoint); ksplit

@@ -165,11 +165,16 @@ class MRIDataset:
             order = np.arange(n)
             if shuffle:
                 np.random.default_rng(seed).shuffle(order)
-            num_batches = max(1, n // batch_size)
+            # ceil: the trailing partial batch is emitted (wrapped with
+            # patches from the epoch start) rather than dropped — the
+            # reference trains on every patch each epoch (DataLoader
+            # drop_last=False, ``training.py:82-94``)
+            num_batches = max(1, -(-n // batch_size))
             for b in range(num_batches):
                 idx = order[b * batch_size : (b + 1) * batch_size]
                 if len(idx) < batch_size:
-                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                    wrap = np.resize(order, batch_size - len(idx))
+                    idx = np.concatenate([idx, wrap])
                 yield native.gather_pairs(self.fully_tiles, self.under_tiles, idx)
 
         if prefetch > 0:
@@ -295,25 +300,38 @@ class MRIDatasetLowMemory:
         """Static-shape batches like :class:`MRIDataset.batches`. Shuffling
         is slice-major (slices shuffled, patches within a slice contiguous)
         so each batch touches ~batch/patches_per_slice files, keeping the
-        LRU effective."""
+        LRU effective.  The trailing partial batch is wrapped with patches
+        from the epoch start (same epoch semantics as
+        :class:`MRIDataset.batches`: ceil(n/batch) batches, nothing
+        dropped — with ``shuffle=False`` the two classes yield identical
+        epochs, tested)."""
 
         def generate():
             order = np.arange(len(self.rows))
             if shuffle:
                 np.random.default_rng(seed).shuffle(order)
+            num_batches = max(1, -(-len(self) // batch_size))
+            emitted = 0
             buf_f, buf_u = [], []
             have = 0
-            for slice_idx in order:
-                f, u = self._kept_tiles_for(int(slice_idx))
-                buf_f.append(f)
-                buf_u.append(u)
-                have += f.shape[0]
-                while have >= batch_size:
-                    cat_f = np.concatenate(buf_f)
-                    cat_u = np.concatenate(buf_u)
-                    yield cat_f[:batch_size], cat_u[:batch_size]
-                    buf_f, buf_u = [cat_f[batch_size:]], [cat_u[batch_size:]]
-                    have = buf_f[0].shape[0]
+            while emitted < num_batches:
+                for slice_idx in order:
+                    if have >= batch_size:
+                        break
+                    f, u = self._kept_tiles_for(int(slice_idx))
+                    buf_f.append(f)
+                    buf_u.append(u)
+                    have += f.shape[0]
+                    while have >= batch_size and emitted < num_batches:
+                        cat_f = np.concatenate(buf_f)
+                        cat_u = np.concatenate(buf_u)
+                        yield cat_f[:batch_size], cat_u[:batch_size]
+                        emitted += 1
+                        buf_f, buf_u = [cat_f[batch_size:]], [cat_u[batch_size:]]
+                        have = buf_f[0].shape[0]
+                # loop back over ``order`` only for the wrapped remainder
+                if emitted >= num_batches:
+                    break
 
         if prefetch > 0:
             return prefetch_iter(generate(), depth=prefetch)

@@ -168,15 +168,23 @@ class SliceReconstructor:
             _, ms = jax.lax.scan(
                 body, jnp.float32(0), (fully_stack, under_stack)
             )
-            return ms
+            # one (3, K) array -> ONE device->host fetch per chunk.  Through
+            # the axon relay a scalar fetch costs ~8 ms of round-trip
+            # latency; fetching 3*K python floats used to dominate the
+            # whole sweep (measured: 24 scalar fetches ~= 0.2 s/chunk vs
+            # ~5 ms of actual compute).
+            return jnp.stack(ms)
 
         return jax.jit(run_many)
 
-    def metrics_chunk(
+    def metrics_chunk_async(
         self, params, fully_stack: np.ndarray, under_stack: np.ndarray
     ):
-        """(K, H, W) fully/under stacks -> (psnr, ssim, nrmse) arrays of
-        length K, in one jitted dispatch."""
+        """(K, H, W) fully/under stacks -> a DEVICE (3, K) array of
+        (psnr, ssim, nrmse) rows, dispatched asynchronously — fetch with
+        ``np.asarray`` when the value is needed.  Lets the sweep pipeline
+        host stacking + H2D of the next chunk against device compute of
+        this one."""
         k, height, width = under_stack.shape
         nv, nh = tiling.grid_shape(height, width, self.inner)
         num_padded = _bucket(nv * nh, self.patch_bucket)
@@ -186,6 +194,16 @@ class SliceReconstructor:
         return self._jitted[key](
             self._replicate(params), jnp.asarray(fully_stack), jnp.asarray(under_stack)
         )
+
+    def metrics_chunk(
+        self, params, fully_stack: np.ndarray, under_stack: np.ndarray
+    ):
+        """(K, H, W) fully/under stacks -> (psnr, ssim, nrmse) numpy arrays
+        of length K (blocking; one device dispatch + one fetch)."""
+        out = np.asarray(
+            self.metrics_chunk_async(params, fully_stack, under_stack)
+        )
+        return out[0], out[1], out[2]
 
 
 def evaluate_files(
@@ -228,7 +246,14 @@ def evaluate_files_chunked(
     (metrics only — the visual pass keeps the per-slice path). Slices are
     grouped by image shape; a trailing partial chunk is padded by repeating
     its last slice and trimmed. Equivalent results to
-    :func:`evaluate_files` (tested), ~chunk x fewer dispatches."""
+    :func:`evaluate_files` (tested), ~chunk x fewer dispatches.
+
+    Chunks are software-pipelined: up to ``inflight`` chunks are dispatched
+    before the oldest result is fetched, so host-side stacking + H2D of
+    chunk i+1 overlaps device compute of chunk i and each chunk pays ONE
+    D2H fetch (the (3, K) metric array) instead of 3*K scalar round trips
+    — through the axon relay the scalar fetches alone used to cost ~40x
+    the compute."""
     total = len(sampler) if num_samples is None else min(num_samples, len(sampler))
     pairs = [sampler.next_sample() for _ in range(total)]
     results: dict[int, SliceResult] = {}
@@ -236,24 +261,36 @@ def evaluate_files_chunked(
     for i, p in enumerate(pairs):
         by_shape.setdefault(p.fully_sampled.shape, []).append(i)
 
+    inflight: list[tuple[list[int], object]] = []
     done = 0
+
+    def drain_one():
+        nonlocal done
+        grp, fut = inflight.pop(0)
+        vals = np.asarray(fut)
+        for j, i in enumerate(grp):
+            results[i] = SliceResult(
+                slice_id=pairs[i].slice_id,
+                psnr=float(vals[0, j]),
+                ssim=float(vals[1, j]),
+                nrmse=float(vals[2, j]),
+            )
+        done += len(grp)
+        if progress_every and done % progress_every < len(grp):
+            log(f"evaluated {done}/{total} slices")
+
     for shape, idxs in by_shape.items():
         for start in range(0, len(idxs), chunk):
             grp = idxs[start : start + chunk]
             padded = grp + [grp[-1]] * (chunk - len(grp))
             fully = np.stack([pairs[i].fully_sampled for i in padded])
             under = np.stack([pairs[i].undersampled for i in padded])
-            psnr, ssim, nrmse = reconstructor.metrics_chunk(params, fully, under)
-            for j, i in enumerate(grp):
-                results[i] = SliceResult(
-                    slice_id=pairs[i].slice_id,
-                    psnr=float(psnr[j]),
-                    ssim=float(ssim[j]),
-                    nrmse=float(nrmse[j]),
-                )
-            done += len(grp)
-            if progress_every and done % progress_every < len(grp):
-                log(f"evaluated {done}/{total} slices")
+            fut = reconstructor.metrics_chunk_async(params, fully, under)
+            inflight.append((grp, fut))
+            while len(inflight) >= 4:
+                drain_one()
+    while inflight:
+        drain_one()
     return [results[i] for i in range(total)]
 
 

@@ -44,6 +44,41 @@ def test_batches_cover_same_patch_pool(metadata):
     assert all(p.tobytes() in pool for p in f)
 
 
+def test_epoch_composition_matches_eager(metadata):
+    """VERDICT r3 item 7: the lazy loader must not drop the trailing
+    partial batch.  Both classes emit ceil(n/batch) static-shape batches,
+    wrap the remainder from the epoch start, and (with shuffle=False)
+    yield bit-identical epochs."""
+    eager = MRIDataset(metadata)
+    lazy = MRIDatasetLowMemory(metadata, cache_slices=2)
+    n = len(eager)
+    batch = 7
+    assert n % batch != 0  # the fixture must actually exercise the wrap
+    e_batches = list(eager.batches(batch, seed=0, shuffle=False))
+    l_batches = list(lazy.batches(batch, seed=0, shuffle=False))
+    assert len(e_batches) == len(l_batches) == -(-n // batch)
+    for (ef, eu), (lf, lu) in zip(e_batches, l_batches):
+        np.testing.assert_array_equal(ef, lf)
+        np.testing.assert_array_equal(eu, lu)
+    # every patch of the epoch is served at least once
+    served = np.concatenate([f for f, _ in l_batches])
+    pool = {e.tobytes() for e in eager.fully_tiles}
+    assert {p.tobytes() for p in served} == pool
+
+
+def test_epoch_composition_tiny_dataset(metadata):
+    """batch > n: a single wrapped batch, same in both classes."""
+    eager = MRIDataset(metadata)
+    lazy = MRIDatasetLowMemory(metadata)
+    n = len(eager)
+    batch = n + 5
+    e_batches = list(eager.batches(batch, seed=0, shuffle=False))
+    l_batches = list(lazy.batches(batch, seed=0, shuffle=False))
+    assert len(e_batches) == len(l_batches) == 1
+    np.testing.assert_array_equal(e_batches[0][0], l_batches[0][0])
+    assert e_batches[0][0].shape[0] == batch
+
+
 def test_get_slice(metadata):
     lazy = MRIDatasetLowMemory(metadata)
     pair = lazy.get_slice(0)
