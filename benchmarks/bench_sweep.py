@@ -35,6 +35,12 @@ latents = jax.block_until_ready(latents)
 
 
 def timed(tag, bb, streams, sin7, sin_bf16=False, sin5=False, ksplit=1):
+    # fused_siren_forward is a module-level @jax.jit whose trace cache keys
+    # only on static args — without this, a monkeypatched _poly_sin /
+    # fast_sin7 (ident / sin7ne calibration rows) silently reuses the
+    # cached real-sine trace and times the wrong kernel (ADVICE r3).
+    sk.fused_siren_forward.clear_cache()
+
     def body(c, i):
         out = sk.fused_siren_forward(
             kp, latents + i * 1e-6, block_b=bb, streams=streams, sin7=sin7,

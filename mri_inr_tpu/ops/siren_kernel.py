@@ -696,6 +696,15 @@ def fused_forward(
         interpret=interpret,
     )
     if quantized:
+        if sin_bf16 or sin5 or ksplit != 1 or not sin7:
+            import warnings
+
+            warnings.warn(
+                "quantized=True uses the int8 kernel, which has no "
+                "sin7/sin_bf16/sin5/ksplit knobs — those settings are "
+                "ignored",
+                stacklevel=2,
+            )
         ikp = quantize_kernel_params(params, kp, num_layers=model.num_layers)
         out = fused_siren_forward_int8(
             kp, ikp, latent.astype(jnp.float32), **common

@@ -12,6 +12,8 @@ every worker.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 _initialized = False
@@ -24,11 +26,19 @@ def initialize(coordinator_address: str | None = None,
     1-chip / CPU-test case) or when already initialized.
 
     On Cloud TPU pod slices call with no arguments; for manual clusters pass
-    coordinator_address ("ip:port"), num_processes and process_id.
+    coordinator_address ("ip:port"), num_processes and process_id — or set
+    ``MRI_INR_COORDINATOR`` / ``MRI_INR_NUM_PROCESSES`` /
+    ``MRI_INR_PROCESS_ID`` (used by ``scripts/drive_multiprocess.py`` to
+    drive the unchanged CLIs as a 2-process CPU cluster).
     """
     global _initialized
     if _initialized:
         return
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("MRI_INR_COORDINATOR")
+        if coordinator_address:
+            num_processes = int(os.environ["MRI_INR_NUM_PROCESSES"])
+            process_id = int(os.environ["MRI_INR_PROCESS_ID"])
     if num_processes is None and coordinator_address is None:
         # Single-host unless the TPU runtime says otherwise; initialize()
         # with no args works on TPU pods and raises elsewhere.

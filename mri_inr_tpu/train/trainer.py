@@ -251,12 +251,15 @@ def make_epoch_perm(
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    num_batches = max(1, n // batch_size)
+    # ceil: trailing partial batch wrapped from the epoch start, matching
+    # MRIDataset.batches (nothing dropped; reference DataLoader
+    # drop_last=False semantics, ``training.py:82-94``)
+    num_batches = max(1, -(-n // batch_size))
     batches = []
     for b in range(num_batches):
         idx = order[b * batch_size : (b + 1) * batch_size]
         if len(idx) < batch_size:
-            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            idx = np.concatenate([idx, np.resize(order, batch_size - len(idx))])
         batches.append(idx)
     return np.stack(batches).astype(np.int32)
 

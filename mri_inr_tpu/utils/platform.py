@@ -41,8 +41,15 @@ def select_platform(platform: str | None, num_devices: int | None = None) -> Non
     if not platform or platform == "tpu":
         # TPU only: XLA:CPU AOT cache entries carry exact machine-feature
         # lists and reload with SIGILL-risk warnings; the win is the remote
-        # TPU scan compile anyway.
-        enable_compilation_cache()
+        # TPU scan compile anyway. With platform=None the backend is
+        # whatever the environment pinned (JAX_PLATFORMS, set by
+        # sitecustomize) — only enable the cache when that is a TPU-ish
+        # backend, not CPU (ADVICE r3).
+        env = os.environ.get("JAX_PLATFORMS", "")
+        if platform == "tpu" or not env or any(
+            p in ("tpu", "axon") for p in env.lower().split(",")
+        ):
+            enable_compilation_cache()
         return
     import jax
 

@@ -31,7 +31,10 @@ def run_json(args: list[str]) -> list:
     for line in proc.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") or line.startswith("["):
-            payload = json.loads(line)
+            try:
+                payload = json.loads(line)
+            except ValueError:
+                continue  # stray log line that happens to start with {/[
             out.extend(payload if isinstance(payload, list) else [payload])
     return out
 
