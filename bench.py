@@ -67,14 +67,18 @@ def main():
 
     run = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0])
 
+    # sync via value fetch: through the axon relay jax.block_until_ready
+    # resolves without waiting for the remote device (measured r4,
+    # scripts/profile_eval.py) — float() is the only true barrier. The
+    # fetch adds one ~30 ms round trip per ~800 ms timed region (<4%).
     t0 = time.perf_counter()
-    jax.block_until_ready(run())
+    float(run())
     print(f"compile+first: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        float(run())
         best = min(best, time.perf_counter() - t0)
 
     per_call = best / ITERS

@@ -46,12 +46,12 @@ pred0 = jnp.asarray(rng.uniform(size=(n, 24, 24)).astype(np.float32))
 def timeit(name, body):
     run = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0])
     t0 = time.perf_counter()
-    jax.block_until_ready(run())
+    float(run())  # fetch-sync: block_until_ready lies through the axon relay
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        float(run())  # fetch-sync: block_until_ready lies through the axon relay
         best = min(best, time.perf_counter() - t0)
     print(f"{name:>28}: {best / ITERS * 1e3:7.2f} ms/call "
           f"(compile {compile_s:.0f}s)", flush=True)

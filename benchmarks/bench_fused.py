@@ -22,11 +22,11 @@ def fused_body(carry, i):
     return carry + out.astype(jnp.float32).mean(), None
 
 run = jax.jit(lambda: jax.lax.scan(fused_body, jnp.float32(0), jnp.arange(ITERS))[0])
-t0 = time.perf_counter(); jax.block_until_ready(run())
+t0 = time.perf_counter(); float(run())  # fetch-sync: block_until_ready lies through the axon relay
 print(f"block_b={BLOCK} compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 best = float("inf")
 for _ in range(3):
-    t0 = time.perf_counter(); jax.block_until_ready(run())
+    t0 = time.perf_counter(); float(run())  # fetch-sync: block_until_ready lies through the axon relay
     best = min(best, time.perf_counter() - t0)
 per_call = best / ITERS
 print(f"fused block_b={BLOCK}: {per_call*1e3:.2f} ms/call -> "

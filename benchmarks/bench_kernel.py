@@ -21,11 +21,11 @@ def body(c, i):
     return c + out.mean(), None
 
 run = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0])
-t0 = time.perf_counter(); jax.block_until_ready(run())
+t0 = time.perf_counter(); float(run())  # fetch-sync: block_until_ready lies through the axon relay
 compile_s = time.perf_counter() - t0
 best = float("inf")
 for _ in range(3):
-    t0 = time.perf_counter(); jax.block_until_ready(run())
+    t0 = time.perf_counter(); float(run())  # fetch-sync: block_until_ready lies through the axon relay
     best = min(best, time.perf_counter() - t0)
 print(f"kernel bb={BB} streams={ST}: {best/ITERS*1e3:.2f} ms/call "
       f"(compile {compile_s:.0f}s)", flush=True)

@@ -49,13 +49,14 @@ def timed(tag, bb, streams, sin7, sin_bf16=False, sin5=False, ksplit=1):
         return c + out.mean(), None
 
     run = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0])
+    # float() sync: block_until_ready does not wait through the axon relay
     t0 = time.perf_counter()
-    jax.block_until_ready(run())
+    float(run())
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        float(run())
         best = min(best, time.perf_counter() - t0)
     ms = best / ITERS * 1e3
     px = BATCH * 576 / (best / ITERS)

@@ -71,14 +71,14 @@ def bench_one(batch: int, iters: int, use_pallas: bool) -> dict:
 
     t0 = time.perf_counter()
     state, losses_out = run(state)
-    jax.block_until_ready(losses_out)
+    jax.device_get(losses_out)  # fetch-sync (relay)
     compile_s = time.perf_counter() - t0
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         state, losses_out = run(state)
-        jax.block_until_ready(losses_out)
+        jax.device_get(losses_out)  # fetch-sync (relay)
         best = min(best, time.perf_counter() - t0)
 
     per_step = best / iters

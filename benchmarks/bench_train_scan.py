@@ -59,7 +59,7 @@ def bench_one(batch: int, steps: int, use_pallas: bool) -> dict:
 
     t0 = time.perf_counter()
     state, loss = epoch(state, fully, under, perm(0), jax.random.key(1), True)
-    jax.block_until_ready(loss)
+    jax.device_get(loss)  # fetch-sync (relay)
     compile_s = time.perf_counter() - t0
 
     best = float("inf")
@@ -67,7 +67,7 @@ def bench_one(batch: int, steps: int, use_pallas: bool) -> dict:
         p = perm(i + 1)  # fresh permutation: relay memoization cannot hit
         t0 = time.perf_counter()
         state, loss = epoch(state, fully, under, p, jax.random.key(1), True)
-        jax.block_until_ready(loss)
+        jax.device_get(loss)  # fetch-sync (relay)
         best = min(best, time.perf_counter() - t0)
 
     per_step = best / steps

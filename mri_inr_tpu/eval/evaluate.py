@@ -254,6 +254,8 @@ def evaluate_files_chunked(
     D2H fetch (the (3, K) metric array) instead of 3*K scalar round trips
     — through the axon relay the scalar fetches alone used to cost ~40x
     the compute."""
+    import time
+
     total = len(sampler) if num_samples is None else min(num_samples, len(sampler))
     pairs = [sampler.next_sample() for _ in range(total)]
     results: dict[int, SliceResult] = {}
@@ -263,6 +265,7 @@ def evaluate_files_chunked(
 
     inflight: list[tuple[list[int], object]] = []
     done = 0
+    t_start = time.perf_counter()
 
     def drain_one():
         nonlocal done
@@ -277,7 +280,9 @@ def evaluate_files_chunked(
             )
         done += len(grp)
         if progress_every and done % progress_every < len(grp):
-            log(f"evaluated {done}/{total} slices")
+            dt = time.perf_counter() - t_start
+            log(f"evaluated {done}/{total} slices "
+                f"({dt:.1f}s, {done / dt:.1f} slices/s)")
 
     for shape, idxs in by_shape.items():
         for start in range(0, len(idxs), chunk):

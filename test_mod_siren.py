@@ -80,18 +80,22 @@ def main():
         "adam",
         1e-4,
     )
+    import time
+
     model_path = pathlib.Path(ecfg.model_path)
+    t_restore = time.perf_counter()
     # model_path may be a run dir (newest step restored) or a step dir
     if (model_path / "checkpoints").is_dir():
         step = ckpt_lib.find_latest_step(model_path)
         state = ckpt_lib.restore_state(model_path, step, state)
-        print(f"restored {model_path} step {step}")
+        print(f"restored {model_path} step {step} "
+              f"({time.perf_counter() - t_restore:.1f}s)")
     else:
         import orbax.checkpoint as ocp
 
         with ocp.StandardCheckpointer() as ckptr:
             state = ckptr.restore(model_path.absolute(), state)
-        print(f"restored {model_path}")
+        print(f"restored {model_path} ({time.perf_counter() - t_restore:.1f}s)")
 
     primary = distributed.is_primary()
     output_dir = (
@@ -183,6 +187,9 @@ def main():
     # metric pass: each process scores its file shard; process shards are
     # all-gathered so the primary writes the single-run artifact contract.
     # Manual --shard runs land in metrics_shard*/ for a later --merge-shards.
+    import time
+
+    t_metric = time.perf_counter()
     if ecfg.eval_chunk > 1:
         results = evaluate_files_chunked(
             reconstructor, state.params, sampler,
@@ -192,6 +199,10 @@ def main():
         results = evaluate_files(
             reconstructor, state.params, sampler, num_samples=ecfg.metric_samples
         )
+    metric_secs = time.perf_counter() - t_metric
+    print(f"metric pass: {len(results)} slices in {metric_secs:.1f}s "
+          f"({len(results) / max(metric_secs, 1e-9):.1f} slices/s incl. "
+          "compile+program load)")
     results = gather_shard_results(results)
     suffix = f"_shard{args.shard.replace(':', '_')}" if args.shard else ""
     metrics_dir = output_dir if not suffix else output_dir / f"metrics{suffix}"
