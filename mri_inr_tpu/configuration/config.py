@@ -155,9 +155,12 @@ class EvalConfig:
     # sin_bf16 evaluates the sine polynomial tail + FiLM multiply in bf16
     # (~0.03 dB PSNR cost measured on the quality checkpoint); ksplit
     # pipelines each layer's sine epilogue against the next matmul in K
-    # slices; quantized selects the int8-MXU kernel
+    # slices; quantized selects the int8-MXU kernel.
+    # sin5 (degree-5 minimax sine) is the r4 default: measured at
+    # 940-slice scale -0.014 dB PSNR / +0.0014 SSIM vs degree-7 for ~7%
+    # kernel speed; set false for degree-7 parity runs.
     sin_bf16: bool = False
-    sin5: bool = False
+    sin5: bool = True
     ksplit: int = 1
     quantized: bool = False
 
