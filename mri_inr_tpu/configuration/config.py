@@ -112,6 +112,11 @@ class TrainingConfig:
     # fused Pallas fwd+bwd training kernels (ops/siren_train_kernel). None =
     # follow model.use_pallas on TPU; the Flax autodiff path otherwise.
     use_pallas: bool | None = None
+    # degree-5 sine/cos in the TRAIN kernels (~2 polynomial FMAs cheaper
+    # per element in fwd sine AND bwd cosine). Opt-in: unlike the eval
+    # sin5 default this changes training numerics/trajectory — see the
+    # train roofline in benchmarks/README.md before enabling.
+    sin5: bool = False
 
     def __post_init__(self):
         self.optimizer = _canon(self.optimizer, OPTIMIZERS, "optimizer")

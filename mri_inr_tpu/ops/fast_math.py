@@ -131,3 +131,11 @@ def fast_cos(x: jax.Array) -> jax.Array:
     d(sin(w0*p))/dp = w0*cos(w0*p)."""
     dtype = x.dtype
     return fast_sin(x.astype(jnp.float32) + HALF_PI).astype(dtype)
+
+
+def fast_cos5(x: jax.Array) -> jax.Array:
+    """Degree-5 polynomial cosine via ``fast_sin5(x + pi/2)`` (|err| <=
+    7e-3) — the derivative partner of :func:`fast_sin5` for the training
+    kernel's degree-5 speed mode (``training.sin5``)."""
+    dtype = x.dtype
+    return fast_sin5(x.astype(jnp.float32) + HALF_PI).astype(dtype)

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mri_inr_tpu.ops.fast_math import fast_cos, fast_sin
+from mri_inr_tpu.ops.fast_math import fast_cos, fast_cos5, fast_sin, fast_sin5
 from mri_inr_tpu.ops.siren_kernel import (
     SirenKernelParams,
     compute_modulations,
@@ -69,41 +69,50 @@ def _wrap_i32(v: int) -> int:
     return v - 2**32 if v >= 2**31 else v
 
 
-def _sine_pair(w0: float):
+def _sin_cos(sin5: bool):
+    """(sin, cos) implementation pair: degree-9 default, degree-5 speed
+    mode (``training.sin5`` — saves 2 polynomial FMAs per element in BOTH
+    the fwd sine and the bwd cosine derivative)."""
+    return (fast_sin5, fast_cos5) if sin5 else (fast_sin, fast_cos)
+
+
+def _sine_pair(w0: float, sin5: bool = False):
     """(act, dact) for the sine activation — the OUTPUT layer always uses
     this, even for Morlet models (the reference's last Siren is built
     without an activation argument and defaults to Sine,
     modulated_siren.py:211-213)."""
+    sin, cos = _sin_cos(sin5)
 
     def act(p):
-        return fast_sin(p if w0 == 1.0 else w0 * p)
+        return sin(p if w0 == 1.0 else w0 * p)
 
     def dact(p):
-        return w0 * fast_cos(p if w0 == 1.0 else w0 * p)
+        return w0 * cos(p if w0 == 1.0 else w0 * p)
 
     return act, dact
 
 
-def _act_pair(w0: float, activation: str):
+def _act_pair(w0: float, activation: str, sin5: bool = False):
     """(act, dact): hidden-layer activation and its derivative wrt the
     pre-activation."""
+    sin, cos = _sin_cos(sin5)
 
     if activation == "morlet":
 
         def act(p):
-            return fast_sin(w0 * p) * jnp.exp(-0.5 * jnp.square(p))
+            return sin(w0 * p) * jnp.exp(-0.5 * jnp.square(p))
 
         def dact(p):
             env = jnp.exp(-0.5 * jnp.square(p))
-            return env * (w0 * fast_cos(w0 * p) - p * fast_sin(w0 * p))
+            return env * (w0 * cos(w0 * p) - p * sin(w0 * p))
 
     else:
 
         def act(p):
-            return fast_sin(p if w0 == 1.0 else w0 * p)
+            return sin(p if w0 == 1.0 else w0 * p)
 
         def dact(p):
-            return w0 * fast_cos(p if w0 == 1.0 else w0 * p)
+            return w0 * cos(p if w0 == 1.0 else w0 * p)
 
     return act, dact
 
@@ -143,14 +152,15 @@ def _fwd_kernel(
     w0: float,
     activation: str,
     rate: float,
+    sin5: bool = False,
 ):
     """One batch-block training forward: eval schedule + dropout masks."""
     tb = mods_ref.shape[0]
     seq, hidden = base_ref.shape
     n = tb * seq
     mm_dtype = sw_ref.dtype
-    act, _ = _act_pair(w0, activation)
-    act_last, _ = _sine_pair(w0)
+    act, _ = _act_pair(w0, activation, sin5)
+    act_last, _ = _sine_pair(w0, sin5)
     keep = 1.0 - rate
 
     if rate > 0.0:
@@ -208,6 +218,7 @@ def _bwd_kernel(
     w0: float,
     activation: str,
     rate: float,
+    sin5: bool = False,
 ):
     """One batch-block backward: rematerialized forward (storing per-layer
     matmul inputs in VMEM scratch) + reverse sweep. Weight-space grads
@@ -217,8 +228,8 @@ def _bwd_kernel(
     seq, hidden = base_ref.shape
     n = tb * seq
     mm_dtype = sw_ref.dtype
-    act, dact = _act_pair(w0, activation)
-    _, dact_last = _sine_pair(w0)
+    act, dact = _act_pair(w0, activation, sin5)
+    _, dact_last = _sine_pair(w0, sin5)
     keep = 1.0 - rate
 
     if rate > 0.0:
@@ -335,6 +346,7 @@ def _make_chain(
     block_b: int,
     bwd_block_b: int,
     interpret: bool,
+    sin5: bool = False,
 ):
     """Build the custom_vjp chain op for one static configuration."""
 
@@ -355,6 +367,7 @@ def _make_chain(
                 w0=w0,
                 activation=activation,
                 rate=rate,
+                sin5=sin5,
             ),
             out_shape=jax.ShapeDtypeStruct((padded, seq), jnp.float32),
             grid=grid,
@@ -416,6 +429,7 @@ def _make_chain(
                 w0=w0,
                 activation=activation,
                 rate=rate,
+                sin5=sin5,
             ),
             out_shape=out_shapes,
             grid=grid,
@@ -497,6 +511,7 @@ def siren_chain_train(
     block_b: int = 8,
     bwd_block_b: int = 8,
     interpret: bool = False,
+    sin5: bool = False,
 ) -> jax.Array:
     """(B, L*H) modulations -> (B, S) outputs; differentiable wrt ``mods``
     and the chain weights in ``kp`` via the fused Pallas fwd/bwd pair.
@@ -521,6 +536,7 @@ def siren_chain_train(
         block_b,
         bwd_block_b,
         interpret,
+        sin5,
     )
     out = chain(mods, kp.base, kp.s_w, kp.s_b, kp.last_w, kp.last_b, seed)
     return out[:batch]
@@ -537,6 +553,7 @@ def fused_train_apply(
     bwd_block_b: int = 8,
     interpret: bool = False,
     mm_dtype: jnp.dtype = jnp.bfloat16,
+    sin5: bool = False,
 ) -> jax.Array:
     """Differentiable flagship forward for the TRAIN step: XLA conv encoder
     + modulator (autodiff) -> fused Pallas SIREN chain (custom_vjp) ->
@@ -570,6 +587,7 @@ def fused_train_apply(
         block_b=block_b,
         bwd_block_b=bwd_block_b,
         interpret=interpret,
+        sin5=sin5,
     )
     s = model.siren_patch_size
     return out.reshape(tiles.shape[0], s, s)

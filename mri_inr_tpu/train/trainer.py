@@ -80,16 +80,20 @@ def splice_pretrained_encoder(params, autoencoder_params):
     return params
 
 
-def _make_forward(model, use_pallas: bool, interpret: bool):
+def _make_forward(model, use_pallas: bool, interpret: bool,
+                  sin5: bool = False):
     """(params, under, dropout_rng) -> (B, siren, siren) train-mode forward:
     the fused Pallas custom_vjp chain (``ops/siren_train_kernel``) when
-    requested, else the Flax autodiff path. Residual models are not fused."""
+    requested, else the Flax autodiff path. Residual models are not fused.
+    ``sin5``: degree-5 sine/cosine in the train kernels (training speed
+    mode, ``training.sin5``, opt-in — changes training numerics)."""
     if use_pallas and not getattr(model, "residual", False):
         from mri_inr_tpu.ops import siren_train_kernel as stk
 
         def forward(params, under, dropout_rng):
             return stk.fused_train_apply(
-                model, params, under, dropout_rng, interpret=interpret
+                model, params, under, dropout_rng, interpret=interpret,
+                sin5=sin5,
             )
 
         return forward
@@ -113,6 +117,7 @@ def make_train_step(
     mesh=None,
     use_pallas: bool = False,
     interpret: bool = False,
+    sin5: bool = False,
 ):
     """Build the jitted (state, fully, under, rng) -> (state, loss) step.
 
@@ -121,7 +126,7 @@ def make_train_step(
     batch + ``pmean`` of loss/grads) — a ``pallas_call`` under plain GSPMD
     sharding constraints would gather the batch to one device; the Flax
     path keeps the GSPMD formulation (XLA partitions it well)."""
-    forward = _make_forward(model, use_pallas, interpret)
+    forward = _make_forward(model, use_pallas, interpret, sin5)
 
     def loss_and_grads(params, fully, under, dropout_rng):
         target = tiling.extract_center_batch(fully, outer, siren).astype(jnp.float32)
@@ -271,6 +276,7 @@ def make_scan_epoch(
     siren: int,
     use_pallas: bool = False,
     interpret: bool = False,
+    sin5: bool = False,
 ):
     """One-dispatch epoch: the whole (device-resident) tile set + a
     (num_batches, batch) permutation go in, ``lax.scan`` runs every train
@@ -281,7 +287,7 @@ def make_scan_epoch(
     batch 400 would dominate the step; scanned, the epoch is ONE dispatch.
     Single-mesh (data fits one chip's HBM) — the pod path keeps the
     per-batch ``make_train_step``."""
-    forward = _make_forward(model, use_pallas, interpret)
+    forward = _make_forward(model, use_pallas, interpret, sin5)
     eval_apply = _make_eval_apply(model, use_pallas, interpret)
 
     def epoch(state: TrainState, fully_all, under_all, perm, rng, train: bool):
@@ -340,6 +346,7 @@ class Trainer:
         use_pallas: bool = False,
         interpret: bool = False,
         device_data: bool = False,
+        sin5: bool = False,
     ):
         self.model = model
         self.state = state
@@ -357,7 +364,7 @@ class Trainer:
 
         self.train_step = make_train_step(
             model, loss_fn, outer_patch_size, siren_patch_size, mesh,
-            use_pallas=use_pallas, interpret=interpret,
+            use_pallas=use_pallas, interpret=interpret, sin5=sin5,
         )
         self.eval_step = make_eval_step(
             model, loss_fn, outer_patch_size, siren_patch_size, mesh,
@@ -373,7 +380,7 @@ class Trainer:
         if self.device_data:
             self._scan_epoch = make_scan_epoch(
                 model, loss_fn, outer_patch_size, siren_patch_size,
-                use_pallas=use_pallas, interpret=interpret,
+                use_pallas=use_pallas, interpret=interpret, sin5=sin5,
             )
         # snapshot rendering shares the fused eval path when training fused
         self.reconstructor = SliceReconstructor(

@@ -190,3 +190,43 @@ def test_morlet_grads(setup):
     g2, _ = jax.flatten_util.ravel_pytree(jax.grad(loss_fused)(params))
     scale = float(jnp.abs(g1).max())
     assert float(jnp.abs(g1 - g2).max()) < 2e-4 * max(scale, 1.0)
+
+
+def test_sin5_train_mode(setup):
+    """Degree-5 train speed mode (training.sin5): forward matches a
+    fast_sin5 jnp twin tightly; gradients track the twin's autodiff within
+    the cos5-vs-poly-derivative envelope (each approximates cos to ~7e-3;
+    their pointwise difference bounds the grad gap)."""
+    from mri_inr_tpu.ops.fast_math import fast_sin5
+
+    model, params, tiles = setup
+    coords = coordinate_grid(24)
+    kp = extract_kernel_params(params, coords, mm_dtype=jnp.float32)
+    latent = model.apply({"params": params}, tiles, method=model.encode)
+    mods = compute_modulations(kp, latent)
+    seed = jnp.zeros((1,), jnp.float32)
+
+    def twin(m):
+        batch, (seq, hid) = m.shape[0], kp.base.shape
+        mm = m.reshape(batch, 5, hid)
+        x = kp.base[None] * mm[:, 0, None, :]
+        for i in range(4):
+            pre = jnp.einsum("bsh,hk->bsk", x, kp.s_w[i]) + kp.s_b[i][None]
+            x = fast_sin5(pre) * mm[:, i + 1, None, :]
+        r = jnp.sum(x * kp.last_w[0][None, None], axis=-1) + kp.last_b[0, 0]
+        return fast_sin5(r)
+
+    out_k = stk.siren_chain_train(kp, mods, seed, interpret=True, sin5=True)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(twin(mods)), atol=1e-5
+    )
+    # degree-5 differs from degree-9 by the polynomial error envelope
+    out9 = stk.siren_chain_train(kp, mods, seed, interpret=True)
+    assert 1e-5 < float(jnp.abs(out_k - out9).max()) < 5e-2
+
+    g_k = jax.grad(lambda m: jnp.mean(
+        stk.siren_chain_train(kp, m, seed, interpret=True, sin5=True) ** 2
+    ))(mods)
+    g_t = jax.grad(lambda m: jnp.mean(twin(m) ** 2))(mods)
+    scale = float(jnp.abs(g_t).max())
+    assert float(jnp.abs(g_k - g_t).max()) < 3e-2 * max(scale, 1.0)

@@ -208,6 +208,7 @@ def main():
         tensorboard=tcfg.logging,
         use_pallas=use_pallas,
         device_data=tcfg.device_data,
+        sin5=tcfg.sin5,
     )
     if resume:
         trainer.state = ckpt_lib.restore_state(resume[0], resume[1], trainer.state)
