@@ -119,7 +119,12 @@ def main():
     lines += [
         "",
         "Row-ordering vs the reference: edge >= baseline, residual ~=",
-        "baseline, morlet trades PSNR for SSIM, acc 8 < acc 6 < cf 0.10 —",
+        "baseline, morlet trades PSNR for SSIM, perceptual degrades SSIM",
+        "to the worst of all rows (0.837; the reference's Perceptual row is",
+        "its worst ablation too, README.md:40) with PSNR below baseline,",
+        "and the acceleration sweep is monotone in sampling density:",
+        "acc8/cf.05 28.03 < acc6/cf.05 28.41 < acc6/cf.10 31.85 <",
+        "acc4/cf.20 33.63 —",
         "all reproduce the reference's ordering. The one divergence is the",
         "VGG row: the reference splices a FROZEN-init ImageNet VGG16 AE",
         "(`vgg.py:325-363`) and loses ~5 dB; this framework pretrains the",
