@@ -46,6 +46,13 @@ class DataSplitConfig:
     mri_type: str = "Flair"
     max_slice_num: int | None = 10  # reference filters slice_num <= 10
     seed: int = 31415  # reference subsampling seed (mri_dataset.py:26)
+    # online k-space mode (data/online.py): ``dataset`` points at a
+    # directory of raw .h5 volumes; mask -> IFFT -> tile runs jitted on
+    # device per epoch. ``remask_each_epoch`` draws fresh per-volume masks
+    # every epoch (physics-consistent augmentation the offline pipeline
+    # cannot express); off = stable offline-parity masks.
+    online: bool = False
+    remask_each_epoch: bool = True
 
 
 @dataclass

@@ -1,0 +1,218 @@
+"""Online k-space training pipeline: mask -> IFFT -> normalize -> tile ON
+DEVICE, per epoch, with no intermediate ``.npy`` files.
+
+The reference can only train against offline-preprocessed slices with a
+mask drawn ONCE at preprocessing time (``src/data/preprocessing.py:102-164``
+writes fixed undersampled variants to disk). The TPU-native pipeline keeps
+the raw k-space volumes resident as float32 real/imag pairs and runs the
+whole fastMRI chain (per-volume random column mask -> centered 2-D IFFT ->
+magnitude -> volume min-max normalize -> overlapping-patch tiling) as one
+jitted program per epoch:
+
+- **offline parity**: with ``remask_each_epoch=False`` the mask keys are the
+  same stable per-(volume, cf, acc) derivation ``process_files`` uses, so
+  the produced tiles equal the offline ``.npy`` pipeline bit-for-bit
+  (tested: ``tests/test_online.py``);
+- **mask re-randomization** (``remask_each_epoch=True``, the point of the
+  mode): every epoch re-undersamples with fresh per-volume masks — a
+  physics-consistent data augmentation the reference cannot express, at the
+  cost of one IFFT+tile program execution per epoch (measured ~ms-scale on
+  chip vs the ~2 s training epoch).
+
+Host I/O happens once at construction (``h5py`` reads); everything after
+lives in HBM. Fully-sampled tiles have no mask dependency and are
+materialized once.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mri_inr_tpu.data import kspace
+from mri_inr_tpu.data.dataset import SlicePair
+from mri_inr_tpu.data.preprocessing import (
+    _stable_seed,
+    get_mri_type,
+    load_h5,
+)
+from mri_inr_tpu.ops import tiling
+
+
+class OnlineKspaceDataset:
+    """Device-resident k-space -> (fully, under) tile pairs, one jitted
+    materialization per epoch. Drop-in for :class:`MRIDataset` in the
+    scan-epoch trainer (``len``, ``materialize``, ``batches``,
+    ``get_slice``)."""
+
+    def __init__(
+        self,
+        data_root: str | pathlib.Path,
+        center_fraction: float = 0.05,
+        acceleration: int = 6,
+        mri_type: str | None = "Flair",
+        max_slice_num: int | None = 10,
+        num_samples: int | None = None,
+        seed: int = 31415,
+        outer_patch_size: int = 32,
+        inner_patch_size: int = 16,
+        remask_each_epoch: bool = True,
+    ):
+        self.cf = float(center_fraction)
+        self.acc = int(acceleration)
+        self.outer = outer_patch_size
+        self.inner = inner_patch_size
+        self.remask = remask_each_epoch
+
+        data_root = pathlib.Path(data_root)
+        paths = sorted(data_root.glob("*.h5"))
+        if mri_type:
+            paths = [p for p in paths if get_mri_type(p.stem) == mri_type]
+        if not paths:
+            raise FileNotFoundError(
+                f"No matching .h5 volumes under {data_root}"
+            )
+
+        vols, self.stems = [], []
+        for p in paths:
+            k = kspace.to_ri(load_h5(p))  # (S, H, W, 2) fp32
+            if max_slice_num is not None:
+                k = k[: max_slice_num + 1]
+            vols.append(k)
+            self.stems.append(p.stem)
+        shapes = {v.shape for v in vols}
+        if len(shapes) != 1:
+            raise ValueError(
+                "online pipeline needs uniform volume shapes (one jitted "
+                f"program); got {sorted(shapes)} — bucket or preprocess "
+                "offline instead"
+            )
+        self._k = jnp.asarray(np.stack(vols))  # (V, S, H, W, 2) on device
+        nvol, nsl, h, w, _ = self._k.shape
+
+        # slice subset with MRIDataset._select_rows' seeded-choice semantics
+        slice_ids = [
+            (vi, si) for vi in range(nvol) for si in range(nsl)
+        ]
+        if num_samples is not None and num_samples < len(slice_ids):
+            rng = np.random.default_rng(seed)
+            idx = rng.choice(len(slice_ids), size=num_samples, replace=False)
+            slice_ids = [slice_ids[i] for i in sorted(idx)]
+        self.slice_ids = slice_ids
+        self._flat_idx = jnp.asarray(
+            [vi * nsl + si for vi, si in slice_ids], jnp.int32
+        )
+        self.grid = tiling.grid_shape(h, w, inner_patch_size)
+        self.patches_per_slice = self.grid[0] * self.grid[1]
+
+        # stable per-volume mask keys: epoch 0 (or remask off) reproduces
+        # the offline pipeline's masks exactly
+        self._mask_seeds = jnp.asarray(
+            [_stable_seed(s, self.cf, self.acc) for s in self.stems],
+            jnp.uint32,
+        )
+
+        self._tile_fn = self._build()
+        self._fully = None  # (N*, P, outer, outer), materialized once
+        self._under_cache: tuple[int, jax.Array] | None = None
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        cf, acc = self.cf, self.acc
+        outer, inner = self.outer, self.inner
+        flat_idx = self._flat_idx
+        mask_seeds = self._mask_seeds
+
+        recon = kspace.reconstruct_magnitude_ri
+
+        def images(k, epoch, masked):
+            nvol, nsl, h, w, _ = k.shape
+            if masked:
+                def vol_mask(seed):
+                    key = jax.random.key(seed)
+                    if self.remask:
+                        key = jax.random.fold_in(key, epoch)
+                    return kspace.random_mask(key, w, cf, acc)
+
+                masks = jax.vmap(vol_mask)(mask_seeds)  # (V, W)
+                k = k * masks[:, None, None, :, None].astype(k.dtype)
+            imgs = recon(k)  # (V, S, H, W)
+            lo = jnp.min(imgs, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(imgs, axis=(1, 2, 3), keepdims=True)
+            imgs = (imgs - lo) / (hi - lo)
+            imgs = imgs.reshape(nvol * nsl, h, w)
+            return jnp.take(imgs, flat_idx, axis=0)
+
+        def tile_all(k, epoch, masked):
+            imgs = images(k, epoch, masked)
+            patches = jax.vmap(
+                lambda im: tiling.image_to_patches(im, outer, inner)
+            )(imgs)  # (N, P, outer, outer)
+            return patches.reshape(-1, outer, outer), imgs
+
+        return jax.jit(tile_all, static_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.slice_ids) * self.patches_per_slice
+
+    def materialize(self, epoch: int):
+        """(fully_tiles, under_tiles) device arrays for this epoch's masks
+        (fresh per epoch when ``remask_each_epoch``; fixed otherwise)."""
+        if self._fully is None:
+            self._fully, self._fully_imgs = self._tile_fn(
+                self._k, jnp.int32(0), False
+            )
+        e = int(epoch) if self.remask else 0
+        if self._under_cache is None or self._under_cache[0] != e:
+            under, under_imgs = self._tile_fn(self._k, jnp.int32(e), True)
+            self._under_cache = (e, under)
+            self._under_imgs = under_imgs
+        return self._fully, self._under_cache[1]
+
+    def batches(
+        self, batch_size: int, seed: int, shuffle: bool = True, prefetch: int = 0
+    ):
+        """Host-loop compatibility: materialize (mask epoch = ``seed``, the
+        trainer passes the epoch there) then yield wrapped static-shape
+        batches with :class:`MRIDataset` epoch semantics."""
+        fully, under = self.materialize(seed)
+        fully = np.asarray(fully)
+        under = np.asarray(under)
+
+        def generate():
+            n = fully.shape[0]
+            order = np.arange(n)
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
+            num_batches = max(1, -(-n // batch_size))
+            for b in range(num_batches):
+                idx = order[b * batch_size : (b + 1) * batch_size]
+                if len(idx) < batch_size:
+                    idx = np.concatenate(
+                        [idx, np.resize(order, batch_size - len(idx))]
+                    )
+                yield fully[idx], under[idx]
+
+        return generate()
+
+    def get_slice(self, index: int) -> SlicePair:
+        """Full (fully, under) images for snapshot rendering (epoch-0
+        masks)."""
+        self.materialize(0)
+        vi, si = self.slice_ids[index % len(self.slice_ids)]
+        return SlicePair(
+            slice_id=f"{self.stems[vi]}_{si}",
+            fully_sampled=np.asarray(self._fully_imgs[index % len(self.slice_ids)]),
+            undersampled=np.asarray(self._under_imgs[index % len(self.slice_ids)]),
+        )
+
+    def write_manifest(self, path: str | pathlib.Path) -> None:
+        lines = [
+            f"{self.stems[vi]}_{si} (online k-space)"
+            for vi, si in self.slice_ids
+        ]
+        pathlib.Path(path).write_text("\n".join(lines) + "\n")

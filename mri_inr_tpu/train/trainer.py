@@ -434,15 +434,20 @@ class Trainer:
     def _scan_epoch_loss(self, dataset, train: bool, epoch: int) -> float:
         """One-dispatch epoch over device-resident tiles (same batch
         composition as the host loop: :func:`make_epoch_perm`)."""
-        if not hasattr(dataset, "fully_tiles"):  # e.g. MRIDatasetLowMemory
+        if hasattr(dataset, "materialize"):
+            # online k-space pipeline: tiles are re-materialized on device
+            # with this epoch's masks (data/online.py)
+            fully_all, under_all = dataset.materialize(epoch)
+        elif not hasattr(dataset, "fully_tiles"):  # e.g. MRIDatasetLowMemory
             self.device_data = False
             return self._epoch_loss(dataset, train, epoch)
-        key = id(dataset)
-        if key not in self._dev_tiles:
-            fully = jnp.asarray(dataset.fully_tiles)
-            under = jnp.asarray(dataset.under_tiles)
-            self._dev_tiles[key] = (fully, under)
-        fully_all, under_all = self._dev_tiles[key]
+        else:
+            key = id(dataset)
+            if key not in self._dev_tiles:
+                fully = jnp.asarray(dataset.fully_tiles)
+                under = jnp.asarray(dataset.under_tiles)
+                self._dev_tiles[key] = (fully, under)
+            fully_all, under_all = self._dev_tiles[key]
         perm = jnp.asarray(
             make_epoch_perm(len(dataset), self.batch_size, epoch, shuffle=train)
         )

@@ -94,17 +94,33 @@ def main():
     print(f"run dir: {run_dir}")
 
     dataset_cls = MRIDatasetLowMemory if dcfg.low_memory else MRIDataset
-    train_ds = dataset_cls(
-        dcfg.train.dataset,
-        center_fraction=dcfg.center_fraction,
-        acceleration=dcfg.acceleration,
-        mri_type=dcfg.train.mri_type,
-        max_slice_num=dcfg.train.max_slice_num,
-        num_samples=dcfg.train.num_samples,
-        seed=dcfg.train.seed,
-        outer_patch_size=mcfg.outer_patch_size,
-        inner_patch_size=mcfg.inner_patch_size,
-    )
+    if dcfg.train.online:
+        from mri_inr_tpu.data.online import OnlineKspaceDataset
+
+        train_ds = OnlineKspaceDataset(
+            dcfg.train.dataset,
+            center_fraction=dcfg.center_fraction,
+            acceleration=dcfg.acceleration,
+            mri_type=dcfg.train.mri_type,
+            max_slice_num=dcfg.train.max_slice_num,
+            num_samples=dcfg.train.num_samples,
+            seed=dcfg.train.seed,
+            outer_patch_size=mcfg.outer_patch_size,
+            inner_patch_size=mcfg.inner_patch_size,
+            remask_each_epoch=dcfg.train.remask_each_epoch,
+        )
+    else:
+        train_ds = dataset_cls(
+            dcfg.train.dataset,
+            center_fraction=dcfg.center_fraction,
+            acceleration=dcfg.acceleration,
+            mri_type=dcfg.train.mri_type,
+            max_slice_num=dcfg.train.max_slice_num,
+            num_samples=dcfg.train.num_samples,
+            seed=dcfg.train.seed,
+            outer_patch_size=mcfg.outer_patch_size,
+            inner_patch_size=mcfg.inner_patch_size,
+        )
     val_ds = dataset_cls(
         dcfg.val.dataset or dcfg.train.dataset,
         center_fraction=dcfg.center_fraction,
