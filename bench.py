@@ -71,8 +71,18 @@ def main():
     # resolves without waiting for the remote device (measured r4,
     # scripts/profile_eval.py) — float() is the only true barrier. The
     # fetch adds one ~30 ms round trip per ~800 ms timed region (<4%).
+    # The relay occasionally returns a transient INTERNAL error on the
+    # first execution after compile (observed r4); retry before giving up.
     t0 = time.perf_counter()
-    float(run())
+    for attempt in range(3):
+        try:
+            float(run())
+            break
+        except Exception as exc:  # jax.errors.JaxRuntimeError on the relay
+            if attempt == 2:
+                raise
+            print(f"first execution failed ({exc}); retrying", file=sys.stderr)
+            time.sleep(10)
     print(f"compile+first: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
     best = float("inf")
