@@ -704,13 +704,15 @@ def fused_forward(
         interpret=interpret,
     )
     if quantized:
-        if sin_bf16 or sin5 or ksplit != 1 or not sin7:
+        # sin5 is deliberately NOT in this check: it is the ambient r4
+        # default, so quantized runs would always warn spuriously (the
+        # int8 kernel simply doesn't evaluate a sine polynomial tail).
+        if sin_bf16 or ksplit != 1 or not sin7:
             import warnings
 
             warnings.warn(
                 "quantized=True uses the int8 kernel, which has no "
-                "sin7/sin_bf16/sin5/ksplit knobs — those settings are "
-                "ignored",
+                "sin7/sin_bf16/ksplit knobs — those settings are ignored",
                 stacklevel=2,
             )
         ikp = quantize_kernel_params(params, kp, num_layers=model.num_layers)
