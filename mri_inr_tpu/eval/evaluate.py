@@ -220,12 +220,15 @@ def evaluate_files(
     for i in range(total):
         pair = sampler.next_sample()
         _, _, _, m = reconstructor(params, pair.fully_sampled, pair.undersampled)
+        # one stacked fetch instead of three scalar round trips (each
+        # costs ~8-32 ms through the axon relay)
+        vals = np.asarray(jnp.stack([m["psnr"], m["ssim"], m["nrmse"]]))
         results.append(
             SliceResult(
                 slice_id=pair.slice_id,
-                psnr=float(m["psnr"]),
-                ssim=float(m["ssim"]),
-                nrmse=float(m["nrmse"]),
+                psnr=float(vals[0]),
+                ssim=float(vals[1]),
+                nrmse=float(vals[2]),
             )
         )
         if progress_every and (i + 1) % progress_every == 0:
