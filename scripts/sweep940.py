@@ -27,21 +27,30 @@ import time
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def sh(args: list[str]) -> str:
+def sh(args: list[str], retries: int = 2) -> str:
     """Run a CLI, stream its output, and return it (the sweep records the
     CLI's own 'metric pass: ...' timing line, which separates the steady
-    pipeline rate from the per-process relay program-load stall)."""
-    print(f"+ {' '.join(args)}", flush=True)
-    proc = subprocess.Popen(
-        args, cwd=REPO, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True,
-    )
-    out = []
-    for line in proc.stdout:
-        print(line, end="", flush=True)
-        out.append(line)
-    assert proc.wait() == 0, f"command failed: {args}"
-    return "".join(out)
+    pipeline rate from the per-process relay program-load stall).
+
+    Retries on failure: the axon relay intermittently kills a run with a
+    transient TPU backend error (INTERNAL / FAILED_PRECONDITION, observed
+    r4); a fresh process retry is the reliable recovery."""
+    for attempt in range(retries + 1):
+        print(f"+ {' '.join(args)}", flush=True)
+        proc = subprocess.Popen(
+            args, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        out = []
+        for line in proc.stdout:
+            print(line, end="", flush=True)
+            out.append(line)
+        if proc.wait() == 0:
+            return "".join(out)
+        print(f"command failed (attempt {attempt + 1}/{retries + 1})",
+              flush=True)
+        time.sleep(20)
+    raise RuntimeError(f"command failed after {retries + 1} attempts: {args}")
 
 
 def metric_pass_seconds(output: str) -> float | None:
