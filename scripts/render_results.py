@@ -139,7 +139,11 @@ def main():
         "cannot express. The train_sin5 row measures the degree-5",
         "train-kernel speed mode at the full protocol: quality identical",
         "to baseline (-0.01 dB, SSIM equal) while training ~10% faster —",
-        "the evidence behind its promotion to default.",
+        "the evidence behind its promotion to default. A doubled-budget",
+        "probe (1200 epochs, online remask) plateaus: val loss is flat",
+        "from ~epoch 500 (progress_log in runs/results/best/) and PSNR",
+        "does not improve (28.30, SSIM 0.882) — the 600-epoch protocol",
+        "budget saturates this corpus.",
         "The one reproduction divergence is the",
         "VGG row: the reference splices a FROZEN-init ImageNet VGG16 AE",
         "(`vgg.py:325-363`) and loses ~5 dB; this framework pretrains the",
