@@ -72,6 +72,31 @@ def prefetch_iter(iterable, depth: int = 2):
         yield item
 
 
+def epoch_index_batches(
+    n: int, batch_size: int, seed: int, shuffle: bool = True
+) -> list[np.ndarray]:
+    """The ONE definition of epoch batch composition, shared by
+    ``MRIDataset.batches``, ``OnlineKspaceDataset.batches`` and the scan
+    epoch's ``make_epoch_perm``: shuffled order, ceil(n/batch) batches,
+    trailing partial batch wrapped with indices from the epoch start
+    (nothing dropped — the reference's DataLoader drop_last=False
+    semantics, ``training.py:82-94``). Returns int batches of exactly
+    ``batch_size`` rows. ``n == 0`` yields no batches."""
+    if n <= 0:
+        return []
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    num_batches = max(1, -(-n // batch_size))
+    batches = []
+    for b in range(num_batches):
+        idx = order[b * batch_size : (b + 1) * batch_size]
+        if len(idx) < batch_size:
+            idx = np.concatenate([idx, np.resize(order, batch_size - len(idx))])
+        batches.append(idx)
+    return batches
+
+
 def read_metadata(metadata_path: str | pathlib.Path) -> list[dict]:
     with open(metadata_path, newline="") as f:
         return list(csv.DictReader(f))
@@ -161,20 +186,7 @@ class MRIDataset:
         in a background thread (native gather) ``prefetch`` deep."""
 
         def generate():
-            n = len(self)
-            order = np.arange(n)
-            if shuffle:
-                np.random.default_rng(seed).shuffle(order)
-            # ceil: the trailing partial batch is emitted (wrapped with
-            # patches from the epoch start) rather than dropped — the
-            # reference trains on every patch each epoch (DataLoader
-            # drop_last=False, ``training.py:82-94``)
-            num_batches = max(1, -(-n // batch_size))
-            for b in range(num_batches):
-                idx = order[b * batch_size : (b + 1) * batch_size]
-                if len(idx) < batch_size:
-                    wrap = np.resize(order, batch_size - len(idx))
-                    idx = np.concatenate([idx, wrap])
+            for idx in epoch_index_batches(len(self), batch_size, seed, shuffle):
                 yield native.gather_pairs(self.fully_tiles, self.under_tiles, idx)
 
         if prefetch > 0:
@@ -307,6 +319,8 @@ class MRIDatasetLowMemory:
         epochs, tested)."""
 
         def generate():
+            if len(self) == 0:
+                return
             order = np.arange(len(self.rows))
             if shuffle:
                 np.random.default_rng(seed).shuffle(order)
@@ -316,7 +330,7 @@ class MRIDatasetLowMemory:
             have = 0
             while emitted < num_batches:
                 for slice_idx in order:
-                    if have >= batch_size:
+                    if have >= batch_size or emitted >= num_batches:
                         break
                     f, u = self._kept_tiles_for(int(slice_idx))
                     buf_f.append(f)

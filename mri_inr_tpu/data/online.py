@@ -76,12 +76,18 @@ class OnlineKspaceDataset:
                 f"No matching .h5 volumes under {data_root}"
             )
 
+        # The FULL volume stays resident: offline parity requires the
+        # min-max normalization window to cover every slice of the volume
+        # (``process_files`` normalizes first, ``_select_rows`` filters
+        # after) — truncating to max_slice_num before normalization would
+        # silently shift every tile value whenever a volume has more
+        # slices than the filter keeps. Slice filtering happens below via
+        # ``slice_ids``/``flat_idx`` only. HBM footprint is therefore
+        # proportional to FULL volumes; for corpora that don't fit,
+        # preprocess offline instead.
         vols, self.stems = [], []
         for p in paths:
-            k = kspace.to_ri(load_h5(p))  # (S, H, W, 2) fp32
-            if max_slice_num is not None:
-                k = k[: max_slice_num + 1]
-            vols.append(k)
+            vols.append(kspace.to_ri(load_h5(p)))  # (S, H, W, 2) fp32
             self.stems.append(p.stem)
         shapes = {v.shape for v in vols}
         if len(shapes) != 1:
@@ -93,9 +99,13 @@ class OnlineKspaceDataset:
         self._k = jnp.asarray(np.stack(vols))  # (V, S, H, W, 2) on device
         nvol, nsl, h, w, _ = self._k.shape
 
-        # slice subset with MRIDataset._select_rows' seeded-choice semantics
+        # slice subset with MRIDataset._select_rows' semantics: slice_num
+        # filter first, then the seeded-choice subsample
         slice_ids = [
-            (vi, si) for vi in range(nvol) for si in range(nsl)
+            (vi, si)
+            for vi in range(nvol)
+            for si in range(nsl)
+            if max_slice_num is None or si <= max_slice_num
         ]
         if num_samples is not None and num_samples < len(slice_ids):
             rng = np.random.default_rng(seed)
@@ -178,25 +188,22 @@ class OnlineKspaceDataset:
     ):
         """Host-loop compatibility: materialize (mask epoch = ``seed``, the
         trainer passes the epoch there) then yield wrapped static-shape
-        batches with :class:`MRIDataset` epoch semantics."""
+        batches with :class:`MRIDataset` epoch semantics
+        (:func:`epoch_index_batches`)."""
+        from mri_inr_tpu.data.dataset import epoch_index_batches, prefetch_iter
+
         fully, under = self.materialize(seed)
         fully = np.asarray(fully)
         under = np.asarray(under)
 
         def generate():
-            n = fully.shape[0]
-            order = np.arange(n)
-            if shuffle:
-                np.random.default_rng(seed).shuffle(order)
-            num_batches = max(1, -(-n // batch_size))
-            for b in range(num_batches):
-                idx = order[b * batch_size : (b + 1) * batch_size]
-                if len(idx) < batch_size:
-                    idx = np.concatenate(
-                        [idx, np.resize(order, batch_size - len(idx))]
-                    )
+            for idx in epoch_index_batches(
+                fully.shape[0], batch_size, seed, shuffle
+            ):
                 yield fully[idx], under[idx]
 
+        if prefetch > 0:
+            return prefetch_iter(generate(), depth=prefetch)
         return generate()
 
     def get_slice(self, index: int) -> SlicePair:

@@ -244,6 +244,7 @@ def evaluate_files_chunked(
     chunk: int = 8,
     progress_every: int = 100,
     log=print,
+    inflight: int = 4,
 ) -> list[SliceResult]:
     """Metric sweep with ``chunk`` slices scored per device dispatch
     (metrics only — the visual pass keeps the per-slice path). Slices are
@@ -266,13 +267,13 @@ def evaluate_files_chunked(
     for i, p in enumerate(pairs):
         by_shape.setdefault(p.fully_sampled.shape, []).append(i)
 
-    inflight: list[tuple[list[int], object]] = []
+    pending: list[tuple[list[int], object]] = []
     done = 0
     t_start = time.perf_counter()
 
     def drain_one():
         nonlocal done
-        grp, fut = inflight.pop(0)
+        grp, fut = pending.pop(0)
         vals = np.asarray(fut)
         for j, i in enumerate(grp):
             results[i] = SliceResult(
@@ -294,10 +295,10 @@ def evaluate_files_chunked(
             fully = np.stack([pairs[i].fully_sampled for i in padded])
             under = np.stack([pairs[i].undersampled for i in padded])
             fut = reconstructor.metrics_chunk_async(params, fully, under)
-            inflight.append((grp, fut))
-            while len(inflight) >= 4:
+            pending.append((grp, fut))
+            while len(pending) >= inflight:
                 drain_one()
-    while inflight:
+    while pending:
         drain_one()
     return [results[i] for i in range(total)]
 

@@ -189,15 +189,22 @@ def make_train_step(
     )
 
 
-def _make_eval_apply(model, use_pallas: bool, interpret: bool):
+def _make_eval_apply(model, use_pallas: bool, interpret: bool,
+                     sin5: bool = False):
     """Deterministic (params, under) -> (B, siren, siren) forward for
     validation epochs and snapshot rendering: the fused Pallas eval kernel
     when training runs fused (the Flax fallback here used to pay the exact
     HBM layer-crossing traffic the kernels eliminate — for the validation
-    half of every epoch), else the Flax apply."""
+    half of every epoch), else the Flax apply. ``sin5`` follows the
+    trainer's training.sin5 choice so val curves/snapshots use the same
+    sine degree as the train step (a training.sin5=false run must not get
+    degree-5 validation numerics through the eval kernel's own default).
+    Library-level default is the conservative degree-9; the promoted
+    sin5=True default lives in TrainingConfig, wired through the CLI."""
     from mri_inr_tpu.ops.siren_kernel import make_apply_fn
 
-    return make_apply_fn(model, use_pallas=use_pallas, interpret=interpret)
+    return make_apply_fn(model, use_pallas=use_pallas, interpret=interpret,
+                         sin5=sin5)
 
 
 def make_eval_step(
@@ -208,8 +215,9 @@ def make_eval_step(
     mesh=None,
     use_pallas: bool = False,
     interpret: bool = False,
+    sin5: bool = False,
 ):
-    apply_fn = _make_eval_apply(model, use_pallas, interpret)
+    apply_fn = _make_eval_apply(model, use_pallas, interpret, sin5)
 
     def loss_of(params, fully, under):
         target = tiling.extract_center_batch(fully, outer, siren).astype(jnp.float32)
@@ -253,20 +261,11 @@ def make_epoch_perm(
     """(num_batches, batch_size) int32 index matrix with the exact batch
     semantics of ``MRIDataset.batches`` (shuffled order, remainder wrapped
     from the epoch's start) — shared by the host loop and the scan epoch."""
-    order = np.arange(n)
-    if shuffle:
-        np.random.default_rng(seed).shuffle(order)
-    # ceil: trailing partial batch wrapped from the epoch start, matching
-    # MRIDataset.batches (nothing dropped; reference DataLoader
-    # drop_last=False semantics, ``training.py:82-94``)
-    num_batches = max(1, -(-n // batch_size))
-    batches = []
-    for b in range(num_batches):
-        idx = order[b * batch_size : (b + 1) * batch_size]
-        if len(idx) < batch_size:
-            idx = np.concatenate([idx, np.resize(order, batch_size - len(idx))])
-        batches.append(idx)
-    return np.stack(batches).astype(np.int32)
+    from mri_inr_tpu.data.dataset import epoch_index_batches
+
+    return np.stack(
+        epoch_index_batches(n, batch_size, seed, shuffle)
+    ).astype(np.int32)
 
 
 def make_scan_epoch(
@@ -288,7 +287,7 @@ def make_scan_epoch(
     Single-mesh (data fits one chip's HBM) — the pod path keeps the
     per-batch ``make_train_step``."""
     forward = _make_forward(model, use_pallas, interpret, sin5)
-    eval_apply = _make_eval_apply(model, use_pallas, interpret)
+    eval_apply = _make_eval_apply(model, use_pallas, interpret, sin5)
 
     def epoch(state: TrainState, fully_all, under_all, perm, rng, train: bool):
         def train_body(st, batch_idx):
@@ -368,7 +367,7 @@ class Trainer:
         )
         self.eval_step = make_eval_step(
             model, loss_fn, outer_patch_size, siren_patch_size, mesh,
-            use_pallas=use_pallas, interpret=interpret,
+            use_pallas=use_pallas, interpret=interpret, sin5=sin5,
         )
         # device-resident scan epochs: load each dataset's tiles to HBM once
         # and run the whole epoch as ONE dispatch (single-device only)
@@ -384,7 +383,7 @@ class Trainer:
             )
         # snapshot rendering shares the fused eval path when training fused
         self.reconstructor = SliceReconstructor(
-            _make_eval_apply(model, use_pallas, interpret),
+            _make_eval_apply(model, use_pallas, interpret, sin5),
             outer_patch_size=outer_patch_size,
             siren_patch_size=siren_patch_size,
         )

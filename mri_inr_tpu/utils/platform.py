@@ -46,10 +46,17 @@ def select_platform(platform: str | None, num_devices: int | None = None) -> Non
         # sitecustomize) — only enable the cache when that is a TPU-ish
         # backend, not CPU (ADVICE r3).
         env = os.environ.get("JAX_PLATFORMS", "")
-        if platform == "tpu" or not env or any(
+        if platform == "tpu" or any(
             p in ("tpu", "axon") for p in env.lower().split(",")
         ):
             enable_compilation_cache()
+        elif not env:
+            # no pin: resolve the backend (cheap here — the CLI is about
+            # to initialize it anyway) and only cache for TPU-ish ones
+            import jax
+
+            if jax.default_backend() in ("tpu", "axon"):
+                enable_compilation_cache()
         return
     import jax
 

@@ -1,7 +1,13 @@
 #!/usr/bin/env python
-"""Isolate why the lax.scan-chunked eval program is ~45x slower than the
-per-slice program (scripts/profile_eval.py finding).  Times scan bodies
-with pieces stripped: forward only, tile+fold only, metrics only, full.
+"""Historical r4 investigation artifact: times chunked-eval scan bodies
+with pieces stripped (forward only, tile+fold only, metrics only, full)
+plus a batched-forward alternative.
+
+The "scan is 45x slower" hypothesis this script was written to test turned
+out to be false — the gap was an async-timing artifact (block_until_ready
+does not synchronize through the axon relay) plus chip contention; see
+benchmarks/README.md "eval sweep" for the real attribution.  Timings here
+are now fetch-synced (device_get) so the comparisons are valid.
 """
 
 from __future__ import annotations
@@ -54,12 +60,12 @@ def main():
     def bench(name, fn, *args):
         f = jax.jit(fn)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        jax.device_get(f(*args))  # fetch-sync: block_until_ready lies on the relay
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
-            jax.block_until_ready(f(*args))
+            jax.device_get(f(*args))
         run = (time.perf_counter() - t0) / reps
         print(f"{name:<32} compile {compile_s:7.1f}s   run {run * 1e3:9.1f} ms",
               flush=True)

@@ -34,6 +34,29 @@ def test_offline_parity(h5_root):
     )
 
 
+def test_offline_parity_with_slice_truncation(tmp_path):
+    """Volumes with MORE slices than max_slice_num keeps: normalization
+    must still cover the FULL volume (the offline pipeline normalizes
+    before filtering, ``process_files`` -> ``_select_rows``) — the r4
+    code-review caught a truncate-before-normalize variant of this."""
+    synthetic.write_synthetic_h5(
+        tmp_path, num_files=2, num_slices=5, height=64, width=48
+    )
+    meta = process_files(tmp_path)
+    offline = MRIDataset(meta, max_slice_num=2)
+    online = OnlineKspaceDataset(
+        tmp_path, max_slice_num=2, remask_each_epoch=False
+    )
+    assert len(online) == len(offline)
+    fully, under = online.materialize(0)
+    np.testing.assert_allclose(
+        np.asarray(fully), offline.fully_tiles, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(under), offline.under_tiles, atol=2e-6
+    )
+
+
 def test_remask_changes_under_not_fully(h5_root):
     online = OnlineKspaceDataset(h5_root, remask_each_epoch=True)
     f0, u0 = online.materialize(0)

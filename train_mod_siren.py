@@ -121,17 +121,37 @@ def main():
             outer_patch_size=mcfg.outer_patch_size,
             inner_patch_size=mcfg.inner_patch_size,
         )
-    val_ds = dataset_cls(
-        dcfg.val.dataset or dcfg.train.dataset,
-        center_fraction=dcfg.center_fraction,
-        acceleration=dcfg.acceleration,
-        mri_type=dcfg.val.mri_type,
-        max_slice_num=dcfg.val.max_slice_num,
-        num_samples=dcfg.val.num_samples,
-        seed=dcfg.val.seed,
-        outer_patch_size=mcfg.outer_patch_size,
-        inner_patch_size=mcfg.inner_patch_size,
-    )
+    if dcfg.val.online or (not dcfg.val.dataset and dcfg.train.online):
+        # online train runs default to an online val split too (the train
+        # fallback path would otherwise hand MRIDataset an .h5 directory);
+        # validation masks stay FIXED (remask off) so val curves are
+        # comparable across epochs
+        from mri_inr_tpu.data.online import OnlineKspaceDataset
+
+        val_ds = OnlineKspaceDataset(
+            dcfg.val.dataset or dcfg.train.dataset,
+            center_fraction=dcfg.center_fraction,
+            acceleration=dcfg.acceleration,
+            mri_type=dcfg.val.mri_type,
+            max_slice_num=dcfg.val.max_slice_num,
+            num_samples=dcfg.val.num_samples,
+            seed=dcfg.val.seed,
+            outer_patch_size=mcfg.outer_patch_size,
+            inner_patch_size=mcfg.inner_patch_size,
+            remask_each_epoch=False,
+        )
+    else:
+        val_ds = dataset_cls(
+            dcfg.val.dataset or dcfg.train.dataset,
+            center_fraction=dcfg.center_fraction,
+            acceleration=dcfg.acceleration,
+            mri_type=dcfg.val.mri_type,
+            max_slice_num=dcfg.val.max_slice_num,
+            num_samples=dcfg.val.num_samples,
+            seed=dcfg.val.seed,
+            outer_patch_size=mcfg.outer_patch_size,
+            inner_patch_size=mcfg.inner_patch_size,
+        )
     print(f"train patches: {len(train_ds)}, val patches: {len(val_ds)}")
     # data manifest (the reference's processed_files.txt)
     if primary and hasattr(train_ds, "write_manifest"):
