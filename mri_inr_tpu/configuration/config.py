@@ -138,6 +138,10 @@ class EvalConfig:
     (configuration.py:63-93)."""
 
     dataset: str = ""
+    # online eval (data/online.py): ``dataset`` points at a directory of
+    # raw .h5 volumes; mask -> IFFT runs on device with the stable
+    # offline-parity mask keys — no .npy preprocessing step needed
+    online: bool = False
     test_files: list[str] | None = None
     metric_samples: int | None = None
     visual_samples: int = 0

@@ -223,3 +223,40 @@ class OnlineKspaceDataset:
             for vi, si in self.slice_ids
         ]
         pathlib.Path(path).write_text("\n".join(lines) + "\n")
+
+
+class OnlineSampler:
+    """Evaluation sampler over an :class:`OnlineKspaceDataset` — the
+    no-disk analog of :class:`mri_inr_tpu.data.dataset.MRISampler`: raw
+    ``.h5`` k-space -> device mask+IFFT -> full (fully, under) slices,
+    shuffled once with the reference's seed-42 semantics and served
+    sequentially, with the same ``shard(i, n)`` contract for pod-parallel
+    sweeps. Masks are the stable epoch-0 keys (``remask_each_epoch=False``
+    in the dataset), so metrics equal the offline pipeline's (tested)."""
+
+    def __init__(self, dataset: OnlineKspaceDataset, seed: int = 42,
+                 num_samples: int | None = None):
+        self.dataset = dataset
+        order = np.random.default_rng(seed).permutation(
+            len(dataset.slice_ids)
+        )
+        if num_samples is not None:
+            order = order[:num_samples]
+        self._order = [int(i) for i in order]
+        self._counter = 0
+
+    def __len__(self) -> int:
+        return len(self._order)
+
+    def next_sample(self) -> SlicePair:
+        idx = self._order[self._counter % len(self._order)]
+        self._counter += 1
+        return self.dataset.get_slice(idx)
+
+    def shard(self, index: int, count: int) -> "OnlineSampler":
+        import copy
+
+        out = copy.copy(self)
+        out._order = self._order[index::count]
+        out._counter = 0
+        return out

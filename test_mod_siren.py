@@ -117,21 +117,40 @@ def main():
         print(f"merged {len(results)} rows into {output_dir}")
         return
 
-    sampler_kwargs = dict(
-        center_fraction=ecfg.center_fraction,
-        acceleration=ecfg.acceleration,
-        mri_type=ecfg.mri_type,
-        max_slice_num=ecfg.max_slice_num,
-        num_samples=ecfg.num_samples,
-    )
-    sampler = MRISampler(ecfg.dataset, **sampler_kwargs)
-    # explicit file list for the visual pass (reference
-    # test_mod_siren.py:124-128); metric sweep keeps the full selection
-    visual_sampler = sampler
-    if ecfg.test_files:
-        visual_sampler = MRISampler(
-            ecfg.dataset, test_files=list(ecfg.test_files), **sampler_kwargs
+    if ecfg.online:
+        # no-disk eval: raw .h5 -> device mask+IFFT, offline-parity masks
+        from mri_inr_tpu.data.online import OnlineKspaceDataset, OnlineSampler
+
+        if ecfg.test_files:
+            raise ValueError("data.test_files requires the offline sampler")
+        online_ds = OnlineKspaceDataset(
+            ecfg.dataset,
+            center_fraction=ecfg.center_fraction,
+            acceleration=ecfg.acceleration,
+            mri_type=ecfg.mri_type,
+            max_slice_num=ecfg.max_slice_num,
+            outer_patch_size=mcfg.outer_patch_size,
+            inner_patch_size=mcfg.inner_patch_size,
+            remask_each_epoch=False,
         )
+        sampler = OnlineSampler(online_ds, num_samples=ecfg.num_samples)
+        visual_sampler = sampler
+    else:
+        sampler_kwargs = dict(
+            center_fraction=ecfg.center_fraction,
+            acceleration=ecfg.acceleration,
+            mri_type=ecfg.mri_type,
+            max_slice_num=ecfg.max_slice_num,
+            num_samples=ecfg.num_samples,
+        )
+        sampler = MRISampler(ecfg.dataset, **sampler_kwargs)
+        # explicit file list for the visual pass (reference
+        # test_mod_siren.py:124-128); metric sweep keeps the full selection
+        visual_sampler = sampler
+        if ecfg.test_files:
+            visual_sampler = MRISampler(
+                ecfg.dataset, test_files=list(ecfg.test_files), **sampler_kwargs
+            )
     if args.shard:
         i, n = (int(x) for x in args.shard.split(":"))
         sampler = sampler.shard(i, n)

@@ -116,3 +116,29 @@ def test_trainer_scan_epoch_with_online(h5_root):
     l1 = trainer._epoch_loss(online, train=False, epoch=3)
     assert trainer.device_data  # took the scan path, not the fallback
     assert l1 < l0
+
+
+def test_online_sampler_matches_offline_eval(h5_root):
+    """OnlineSampler (no-disk eval) serves the same slices in the same
+    seed-42 order with the same pixel content as MRISampler over the
+    offline-preprocessed metadata — so eval metrics are identical."""
+    from mri_inr_tpu.data.dataset import MRISampler
+    from mri_inr_tpu.data.online import OnlineSampler
+
+    offline = MRISampler(h5_root / "processed" / "metadata.csv")
+    online = OnlineSampler(
+        OnlineKspaceDataset(h5_root, remask_each_epoch=False)
+    )
+    assert len(online) == len(offline)
+    for _ in range(len(offline)):
+        a = offline.next_sample()
+        b = online.next_sample()
+        assert a.slice_id == b.slice_id
+        np.testing.assert_allclose(a.fully_sampled, b.fully_sampled, atol=2e-6)
+        np.testing.assert_allclose(a.undersampled, b.undersampled, atol=2e-6)
+
+    # shard contract matches too
+    s0, s1 = online.shard(0, 2), online.shard(1, 2)
+    o0 = offline.shard(0, 2)
+    assert len(s0) + len(s1) == len(offline)
+    assert s0.next_sample().slice_id == o0.next_sample().slice_id
