@@ -54,7 +54,6 @@ from mri_inr_tpu.ops.siren_kernel import (
 # point). _HASH_M is 0x9E3779B1 as a signed int32.
 _HASH_M = -1640531535
 _LAYER_STRIDE = 1315423911
-_BLOCK_STRIDE = 2654435761 % (2**31)
 
 
 def _keep_threshold(keep: float) -> int:
