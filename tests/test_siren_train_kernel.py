@@ -230,3 +230,46 @@ def test_sin5_train_mode(setup):
     g_t = jax.grad(lambda m: jnp.mean(twin(m) ** 2))(mods)
     scale = float(jnp.abs(g_t).max())
     assert float(jnp.abs(g_k - g_t).max()) < 3e-2 * max(scale, 1.0)
+
+
+def test_morlet_sin5_grads(setup):
+    """activation=morlet with the degree-5 train kernels (the promoted
+    training.sin5 default) — fwd matches a degree-5 jnp twin and grads
+    stay within the cos5 envelope (Morlet uses sin AND cos in dact)."""
+    from mri_inr_tpu.ops.fast_math import fast_sin5
+
+    model_m = _model(activation="morlet")
+    _, params, tiles = setup
+    coords = coordinate_grid(24)
+    kp = extract_kernel_params(
+        params, coords, mm_dtype=jnp.float32, activation="morlet"
+    )
+    latent = model_m.apply({"params": params}, tiles, method=model_m.encode)
+    mods = compute_modulations(kp, latent)
+    seed = jnp.zeros((1,), jnp.float32)
+
+    def twin(m):
+        batch, (seq, hid) = m.shape[0], kp.base.shape
+        mm = m.reshape(batch, 5, hid)
+        x = kp.base[None] * mm[:, 0, None, :]
+        for i in range(4):
+            pre = jnp.einsum("bsh,hk->bsk", x, kp.s_w[i]) + kp.s_b[i][None]
+            act = fast_sin5(pre) * jnp.exp(-0.5 * jnp.square(pre))
+            x = act * mm[:, i + 1, None, :]
+        r = jnp.sum(x * kp.last_w[0][None, None], axis=-1) + kp.last_b[0, 0]
+        return fast_sin5(r)  # output layer is always Sine
+
+    out_k = stk.siren_chain_train(
+        kp, mods, seed, activation="morlet", interpret=True, sin5=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(twin(mods)), atol=1e-5
+    )
+    g_k = jax.grad(lambda m: jnp.mean(
+        stk.siren_chain_train(
+            kp, m, seed, activation="morlet", interpret=True, sin5=True
+        ) ** 2
+    ))(mods)
+    g_t = jax.grad(lambda m: jnp.mean(twin(m) ** 2))(mods)
+    scale = float(jnp.abs(g_t).max())
+    assert float(jnp.abs(g_k - g_t).max()) < 3e-2 * max(scale, 1.0)
