@@ -207,14 +207,22 @@ class OnlineKspaceDataset:
         return generate()
 
     def get_slice(self, index: int) -> SlicePair:
-        """Full (fully, under) images for snapshot rendering (epoch-0
-        masks)."""
-        self.materialize(0)
-        vi, si = self.slice_ids[index % len(self.slice_ids)]
+        """Full (fully, under) images for snapshot rendering / the online
+        eval sampler (epoch-0 masks). The whole image stack is fetched to
+        the host ONCE and cached — per-slice fetches would pay one relay
+        round trip per image (2x940 fetches over the no-disk 940 sweep)."""
+        if getattr(self, "_imgs_np", None) is None:
+            self.materialize(0)
+            self._imgs_np = (
+                np.asarray(self._fully_imgs),
+                np.asarray(self._under_imgs),
+            )
+        i = index % len(self.slice_ids)
+        vi, si = self.slice_ids[i]
         return SlicePair(
             slice_id=f"{self.stems[vi]}_{si}",
-            fully_sampled=np.asarray(self._fully_imgs[index % len(self.slice_ids)]),
-            undersampled=np.asarray(self._under_imgs[index % len(self.slice_ids)]),
+            fully_sampled=self._imgs_np[0][i],
+            undersampled=self._imgs_np[1][i],
         )
 
     def write_manifest(self, path: str | pathlib.Path) -> None:
