@@ -25,7 +25,8 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def bench_one(batch: int, iters: int, use_pallas: bool) -> dict:
+def bench_one(batch: int, iters: int, use_pallas: bool,
+              sin5: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,7 +49,9 @@ def bench_one(batch: int, iters: int, use_pallas: bool) -> dict:
     state = create_train_state(
         model, jax.random.key(0), under[:8], "adam", 1e-4
     )
-    forward = _make_forward(model, use_pallas, interpret=False)
+    # sin5=True mirrors the shipped TrainingConfig default (degree-5
+    # train kernels, promoted r4); pass --sin9 for the degree-9 numbers
+    forward = _make_forward(model, use_pallas, interpret=False, sin5=sin5)
     base_rng = jax.random.key(1)
 
     def body(state, i):
@@ -83,7 +86,8 @@ def bench_one(batch: int, iters: int, use_pallas: bool) -> dict:
 
     per_step = best / iters
     return {
-        "path": "fused" if use_pallas else "flax",
+        "path": ("fused" if use_pallas else "flax")
+        + ("" if (sin5 and use_pallas) or not use_pallas else "_sin9"),
         "batch": batch,
         "ms_per_step": per_step * 1e3,
         "samples_per_sec": batch / per_step,
@@ -97,6 +101,8 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--batches", default="400,4096")
     ap.add_argument("--paths", default="flax,fused")
+    ap.add_argument("--sin9", action="store_true",
+                    help="degree-9 train kernels (pre-r4 default)")
     args = ap.parse_args()
 
     import jax
@@ -105,7 +111,8 @@ def main():
     rows = []
     for batch in (int(b) for b in args.batches.split(",")):
         for path in args.paths.split(","):
-            r = bench_one(batch, args.iters, use_pallas=(path == "fused"))
+            r = bench_one(batch, args.iters, use_pallas=(path == "fused"),
+                          sin5=not args.sin9)
             rows.append(r)
             print(
                 f"{r['path']:>5} B={r['batch']:>5}: {r['ms_per_step']:8.2f} ms/step "
