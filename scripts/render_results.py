@@ -195,12 +195,25 @@ def main():
         ]
 
     lines += [
-        "## Throughput readings",
+        "## Throughput readings (round-4 headlines)",
         "",
-        "Committed in `benchmarks/README.md` (train-step samples/s for the",
-        "Flax-autodiff vs fused-Pallas paths at B=400 and B=4096; eval-sweep",
-        "slices/s chunked vs per-slice vs Flax; eval-kernel schedule sweep +",
-        "roofline). Headline single-chip eval kernel number: `BENCH_r0*.json`.",
+        "- **Eval kernel: 3.163e8 px/s = ~167 TF/s bf16 = 85% of the v5e",
+        "  peak** (7.46 ms @ 4096 patches, degree-5 schedule promoted on",
+        "  940-scale quality evidence) — inside the roofline's 3.1-3.4e8",
+        "  practical ceiling band for this chip.",
+        "- **Train step: 56.61 ms @ B=4096 (72,359 samples/s), 4.7-5.1x",
+        "  the XLA-autodiff path**; a reference 3,000-slice epoch in ~3.8 s.",
+        "- **Eval sweep: ~50-60 slices/s steady** through the pipelined",
+        "  chunked pipeline (the r3 0.54 slices/s figure was contention +",
+        "  scalar-fetch round trips, attributed and fixed); 940-slice",
+        "  no-disk online sweep in 108.5 s including program load.",
+        "- Preprocessing: MXU-DFT ifft2c 11,867 slices/s on chip; the",
+        "  offline pipeline is host-I/O-bound at 26.5 slices/s, which the",
+        "  online mode bypasses entirely.",
+        "",
+        "Full tables, schedule sweeps and the roofline analysis:",
+        "`benchmarks/README.md`; raw JSON: `BENCH_extras.json`,",
+        "`BENCH_r0*.json`.",
         "",
         "Caveat on every `vs_baseline` multiplier quoted from `bench.py`:",
         "the reference publishes NO throughput numbers, so the denominator is",
