@@ -190,6 +190,28 @@ def main():
         for x, y in zip(a[1:], b[1:]):
             assert abs(float(x) - float(y)) < 1e-9, (a, b)
 
+    # ---- 2-process ONLINE (no-disk) eval over the same checkpoint -------
+    online_eval_args = [
+        py, "test_mod_siren.py", "--platform", "cpu",
+        "--set", f"data.dataset={root}/data",
+        "--set", "data.online=true",
+        "--set", "data.visual_samples=0",
+        "--set", "data.batch_patches=512",
+        *model_overrides,
+    ]
+    run_pair(
+        online_eval_args + ["--set", f"data.model_path={sp_run}",
+                            "--set", f"data.output_dir={root / 'eval_mp_online'}",
+                            "--set", "data.output_name=mp"],
+        free_port(), root, "eval_online",
+    )
+    on_rows = read_rows(root / "eval_mp_online" / "mp" / "metrics_error.csv")
+    assert len(on_rows) == len(sp_rows)
+    for a, b in zip(on_rows, sp_rows):
+        assert a[0] == b[0], (a, b)
+        for x, y in zip(a[1:], b[1:]):
+            assert abs(float(x) - float(y)) < 1e-9, (a, b)
+
     verdict = (
         f"PASS: 2-process jax.distributed drive\n"
         f"- one broadcast-timestamped run dir: {mp_run.name}\n"
@@ -198,6 +220,8 @@ def main():
         f"(|d|<5e-5): {mp_losses}\n"
         f"- 2-process sharded eval rows == single-process rows "
         f"({len(mp_rows)} slices, |d|<1e-9)\n"
+        f"- 2-process ONLINE (no-disk) eval rows == single-process "
+        f"offline rows ({len(on_rows)} slices, |d|<1e-9)\n"
     )
     (root / "drive.log").write_text(verdict)
     print(verdict, flush=True)
