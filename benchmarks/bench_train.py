@@ -86,8 +86,10 @@ def bench_one(batch: int, iters: int, use_pallas: bool,
 
     per_step = best / iters
     return {
-        "path": ("fused" if use_pallas else "flax")
-        + ("" if (sin5 and use_pallas) or not use_pallas else "_sin9"),
+        # "fused" (unsuffixed) historically means the degree-9 kernels in
+        # BENCH JSON; the promoted degree-5 default gets its own label
+        "path": "flax" if not use_pallas
+        else ("fused_sin5" if sin5 else "fused"),
         "batch": batch,
         "ms_per_step": per_step * 1e3,
         "samples_per_sec": batch / per_step,

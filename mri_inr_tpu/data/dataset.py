@@ -97,6 +97,18 @@ def epoch_index_batches(
     return batches
 
 
+def sampler_order(n: int, seed: int, num_samples: int | None) -> list[int]:
+    """The ONE definition of the eval sampler's serving order (reference
+    semantics: shuffle once with seed 42, then truncate) — shared by
+    :class:`MRISampler` and the online :class:`~mri_inr_tpu.data.online.
+    OnlineSampler` so their slice orders (and therefore the offline/online
+    metric equivalence, tested) stay in lock-step."""
+    order = np.random.default_rng(seed).permutation(n)
+    if num_samples is not None:
+        order = order[:num_samples]
+    return [int(i) for i in order]
+
+
 def read_metadata(metadata_path: str | pathlib.Path) -> list[dict]:
     with open(metadata_path, newline="") as f:
         return list(csv.DictReader(f))
@@ -395,11 +407,7 @@ class MRISampler:
             ]
         if not rows:
             raise ValueError(f"No slices selected from {metadata_path}")
-        rng = np.random.default_rng(seed)
-        order = rng.permutation(len(rows))
-        if num_samples is not None:
-            order = order[:num_samples]
-        self.rows = [rows[i] for i in order]
+        self.rows = [rows[i] for i in sampler_order(len(rows), seed, num_samples)]
         self._counter = 0
 
     def __len__(self) -> int:
