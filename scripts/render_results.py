@@ -135,8 +135,9 @@ def main():
         "protocol as baseline but with fresh per-volume masks drawn every",
         "epoch on device (`data.train.online`, ~137 ms/epoch at 940-slice",
         "scale) — +0.14 dB PSNR / +0.006 SSIM over the fixed-mask",
-        "baseline, an augmentation the reference's offline .npy pipeline",
-        "cannot express. The train_sin5 row measures the degree-5",
+        "baseline, replicated on a second seed (+0.10 dB / +0.009 SSIM,",
+        "runs/results/seed1_*): an augmentation the reference's offline",
+        ".npy pipeline cannot express. The train_sin5 row measures the degree-5",
         "train-kernel speed mode at the full protocol: quality identical",
         "to baseline (-0.01 dB, SSIM equal) while training ~10% faster —",
         "the evidence behind its promotion to default. A doubled-budget",
