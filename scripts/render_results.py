@@ -207,7 +207,8 @@ def main():
         "- **Eval sweep: ~50-60 slices/s steady** through the pipelined",
         "  chunked pipeline (the r3 0.54 slices/s figure was contention +",
         "  scalar-fetch round trips, attributed and fixed); 940-slice",
-        "  no-disk online sweep in 108.5 s including program load.",
+        "  no-disk online sweep in 39-108 s across runs including the",
+        "  variable program load (best: 24 slices/s end-to-end).",
         "- Preprocessing: MXU-DFT ifft2c 11,867 slices/s on chip; the",
         "  offline pipeline is host-I/O-bound at 26.5 slices/s, which the",
         "  online mode bypasses entirely.",
