@@ -191,15 +191,17 @@ def main():
             f"- PSNR {s['summary']['PSNR']['mean']:.3f} ±"
             f" {s['summary']['PSNR']['std']:.3f} / SSIM"
             f" {s['summary']['SSIM']['mean']:.3f} across the sweep —"
-            " the r4 headline model: trained ~11 min at matched 320x320"
-            " resolution on a DISJOINT synthetic corpus (60 volumes,"
-            " seeds 7000/8000 vs the eval set's 5000) with online mask"
-            " re-randomization (`runs/results/train320/`). The r3"
-            " checkpoint (trained at 256x256 on 24 volumes) scored"
-            " 28.043 / 0.849 on the same sweep — the patch pipeline is"
-            " resolution-agnostic, and +2.3 dB of the headroom was"
-            " matched-resolution training + the online corpus/remask,"
-            " all within the same architecture and step budget.",
+            " the r4 headline model: ~16 min of training at matched"
+            " 320x320 resolution on a DISJOINT synthetic corpus (60"
+            " volumes, seeds 7000/8000 vs the eval set's 5000) with"
+            " online mask re-randomization, including an exercised"
+            " auto-resume (150 -> 300 epochs via"
+            " training.continue_training; `runs/results/train320/`)."
+            " The r3 checkpoint (trained at 256x256 on 24 volumes)"
+            " scored 28.043 / 0.849 on the same sweep — the patch"
+            " pipeline is resolution-agnostic, and the +2.8 dB came"
+            " from matched-resolution training + the online"
+            " corpus/remask, same architecture.",
             "",
         ]
 
