@@ -58,7 +58,9 @@ def main():
     tiles = jnp.asarray(rng.uniform(size=(BATCH, 32, 32)).astype(np.float32))
     params = model.init(jax.random.key(0), tiles[:8])["params"]
     # fused Pallas modulator+SIREN kernel on TPU, Flax/XLA path elsewhere
-    apply_fn = siren_kernel.make_apply_fn(model)
+    # sin5=True is the EvalConfig-promoted default; the library default
+    # stays degree-7 (bit-parity), so the headline passes it explicitly
+    apply_fn = siren_kernel.make_apply_fn(model, sin5=True)
 
     def body(carry, i):
         x = tiles + i.astype(jnp.float32) * 1e-6  # defeat execution memoization
@@ -78,7 +80,9 @@ def main():
         try:
             float(run())
             break
-        except Exception as exc:  # jax.errors.JaxRuntimeError on the relay
+        # only the relay's transient backend failures are retryable;
+        # deterministic bugs (shape errors, OOM tracebacks) surface at once
+        except jax.errors.JaxRuntimeError as exc:
             if attempt == 2:
                 raise
             print(f"first execution failed ({exc}); retrying", file=sys.stderr)

@@ -35,7 +35,7 @@ rng = np.random.default_rng(0)
 img = jnp.asarray(phantom_slice(rng, SIZE, SIZE))
 img2 = jnp.asarray(phantom_slice(rng, SIZE, SIZE))
 params = model.init(jax.random.key(0), jnp.zeros((8, 32, 32)))["params"]
-apply_fn = make_apply_fn(model)
+apply_fn = make_apply_fn(model, sin5=True)  # the EvalConfig-promoted default
 grid = tiling.grid_shape(SIZE, SIZE, 16)
 n = grid[0] * grid[1]
 patches0 = tiling.image_to_patches(img, 32, 16)

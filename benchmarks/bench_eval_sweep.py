@@ -48,7 +48,8 @@ def main():
     )
     params = model.init(jax.random.key(0), jnp.zeros((8, 32, 32)))["params"]
     recon = SliceReconstructor(
-        make_apply_fn(model, use_pallas=not args.flax), patch_bucket=512
+        make_apply_fn(model, use_pallas=not args.flax, sin5=True),
+        patch_bucket=512
     )
 
     rng = np.random.default_rng(0)

@@ -78,10 +78,14 @@ def epoch_index_batches(
     """The ONE definition of epoch batch composition, shared by
     ``MRIDataset.batches``, ``OnlineKspaceDataset.batches`` and the scan
     epoch's ``make_epoch_perm``: shuffled order, ceil(n/batch) batches,
-    trailing partial batch wrapped with indices from the epoch start
-    (nothing dropped — the reference's DataLoader drop_last=False
-    semantics, ``training.py:82-94``). Returns int batches of exactly
-    ``batch_size`` rows. ``n == 0`` yields no batches."""
+    trailing partial batch wrapped with indices from the epoch start so
+    nothing is dropped and every batch is static-shape. NOTE this is a
+    deliberate (small) deviation from the reference's DataLoader
+    drop_last=False (``training.py:82-94``), which emits a SMALLER final
+    batch: here the wrapped duplicate rows get double gradient weight
+    within their epoch (at the default 400-row batches that is <1 extra
+    pass over <1% of tiles per epoch; see PARITY.md). Returns int batches
+    of exactly ``batch_size`` rows. ``n == 0`` yields no batches."""
     if n <= 0:
         return []
     order = np.arange(n)

@@ -152,7 +152,11 @@ class OnlineKspaceDataset:
             imgs = recon(k)  # (V, S, H, W)
             lo = jnp.min(imgs, axis=(1, 2, 3), keepdims=True)
             hi = jnp.max(imgs, axis=(1, 2, 3), keepdims=True)
-            imgs = (imgs - lo) / (hi - lo)
+            # all-constant (zero-padded/corrupt) volumes have hi == lo;
+            # map them to zeros instead of NaN-poisoning every tile (the
+            # online path ingests raw .h5 with no preprocessing step where
+            # this would otherwise surface)
+            imgs = jnp.where(hi > lo, (imgs - lo) / (hi - lo), 0.0)
             imgs = imgs.reshape(nvol * nsl, h, w)
             return jnp.take(imgs, flat_idx, axis=0)
 

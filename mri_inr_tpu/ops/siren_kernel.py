@@ -624,20 +624,22 @@ def pallas_available() -> bool:
 def make_apply_fn(model, params_unused=None, *, use_pallas: bool = True,
                   interpret: bool = False, block_b: int = 16,
                   quantized: bool = False, sin7: bool = True,
-                  sin_bf16: bool = False, sin5: bool = True, ksplit: int = 1):
+                  sin_bf16: bool = False, sin5: bool = False, ksplit: int = 1):
     """(params, tiles) -> (B, siren, siren) forward; the fused Pallas path
     when requested and supported, else the Flax path. Drop-in for eval/
     reconstruction call sites (``SliceReconstructor``). ``quantized``
     selects the int8-MXU kernel (eval speed mode). Residual-MLP models
     (``model.residual``) are not fused — they take the Flax path.
 
-    ``sin5=True`` (degree-5 minimax sine, the r4 default) measured at
-    940-slice scale on the quality checkpoint: PSNR 28.0283 vs the
-    degree-7 path's 28.0425 (-0.014 dB, 1% of the 1.47 dB spread), SSIM
-    +0.0014, NRMSE +0.0001 — quality-neutral within noise for ~7% kernel
-    speed (8.41 vs 9.01 ms/call, benchmarks/bench_sweep.py). Opt out
-    with ``sin5=False`` (``--set data.sin5=false``) for bit-level
-    degree-7 parity runs."""
+    The library default is ``sin5=False`` (bit-level degree-7 parity is
+    the no-args behavior); the r4-promoted speed default lives in ONE
+    place, ``EvalConfig.sin5 = True`` (as ``TrainingConfig.sin5`` does for
+    the train kernel), and config-driven callers thread it through.
+    ``sin5=True`` (degree-5 minimax sine) measured at 940-slice scale on
+    the quality checkpoint: PSNR 28.0283 vs the degree-7 path's 28.0425
+    (-0.014 dB, 1% of the 1.47 dB spread), SSIM +0.0014, NRMSE +0.0001 —
+    quality-neutral within noise for ~7% kernel speed (8.41 vs 9.01
+    ms/call, benchmarks/bench_sweep.py)."""
     if getattr(model, "residual", False):
         use_pallas = False
     if use_pallas and (interpret or pallas_available()):

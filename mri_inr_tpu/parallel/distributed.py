@@ -37,6 +37,17 @@ def initialize(coordinator_address: str | None = None,
     if coordinator_address is None:
         coordinator_address = os.environ.get("MRI_INR_COORDINATOR")
         if coordinator_address:
+            missing = [
+                v
+                for v in ("MRI_INR_NUM_PROCESSES", "MRI_INR_PROCESS_ID")
+                if v not in os.environ
+            ]
+            if missing:
+                raise ValueError(
+                    "MRI_INR_COORDINATOR is set but "
+                    f"{' and '.join(missing)} "
+                    "is not — the three variables must be set together"
+                )
             num_processes = int(os.environ["MRI_INR_NUM_PROCESSES"])
             process_id = int(os.environ["MRI_INR_PROCESS_ID"])
     if num_processes is None and coordinator_address is None:

@@ -401,7 +401,10 @@ class Trainer:
         # (training.py:115-119,383-387): training_loss/validation_loss per epoch
         self._tb_writer = None
         if tensorboard and self._primary:
-            from torch.utils.tensorboard import SummaryWriter
+            # tensorboardX writes the same event-file format without
+            # pulling torch into the production package (the framework's
+            # only torch use is the tests' reference-parity suite)
+            from tensorboardX import SummaryWriter
 
             self._tb_writer = SummaryWriter(log_dir=str(self.run_dir / "tensorboard"))
 

@@ -136,7 +136,7 @@ def main():
           f"= {h2d_mbps:.0f} MB/s (incl. host stacking)", flush=True)
 
     # ---- fused forward alone on device-resident batch -------------------
-    apply_fn = make_apply_fn(model, use_pallas=mcfg.use_pallas)
+    apply_fn = make_apply_fn(model, use_pallas=mcfg.use_pallas, sin5=cfg.data.sin5)
     patches = jax.device_put(
         np.random.default_rng(0).random((512, 32, 32), np.float32))
     fwd = jax.jit(lambda p, x: apply_fn(p, x).ravel()[0])

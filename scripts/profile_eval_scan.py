@@ -46,7 +46,7 @@ def main():
     step = ckpt_lib.find_latest_step(pathlib.Path(model_dir))
     state = ckpt_lib.restore_state(pathlib.Path(model_dir), step, state)
     params = state.params
-    apply_fn = make_apply_fn(model, use_pallas=mcfg.use_pallas)
+    apply_fn = make_apply_fn(model, use_pallas=mcfg.use_pallas, sin5=cfg.data.sin5)
 
     K, H, W = 8, 320, 320
     outer, inner, siren = 32, 16, 24
