@@ -162,11 +162,20 @@ class EvalConfig:
     # (parallel/halo_fold.py); needs a multi-device mesh and the vertical
     # patch count divisible by its size
     halo_fold: bool = False
-    # metric-sweep slices scored per device dispatch (1 = per-slice loop);
-    # amortizes host<->device round trips over the 940-file sweep.
-    # Measured on the real chip (scripts/profile_eval.py): 16 -> 60.5
-    # slices/s, 32 -> 47 slices/s (per-chunk compute outgrows the RTT
-    # amortization); per-slice path 18 slices/s.
+    # device-resident metric sweep (the r5 default): slice stacks stay in
+    # HBM end-to-end, one dispatch per image shape, one (3, K) fetch — no
+    # per-chunk host round trips (eval/evaluate.py:evaluate_files_device).
+    # Set false to fall back to the chunked host pipeline below.
+    device_sweep: bool = True
+    # re-execute the sweep once with perturbed input to attribute the
+    # relay's one-time program load vs the steady device rate inside the
+    # committed run (costs one extra ~1 s sweep execution)
+    steady_probe: bool = False
+    # metric-sweep slices scored per device dispatch in the CHUNKED host
+    # pipeline (1 = per-slice loop); amortizes host<->device round trips
+    # over the 940-file sweep. Measured on the real chip
+    # (scripts/profile_eval.py): 16 -> 60.5 slices/s, 32 -> 47 slices/s
+    # (per-chunk compute outgrows the RTT amortization); per-slice 18/s.
     eval_chunk: int = 16
     # fused-kernel schedule knobs (measured tradeoffs in benchmarks/README.md):
     # sin_bf16 evaluates the sine polynomial tail + FiLM multiply in bf16

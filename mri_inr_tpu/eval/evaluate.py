@@ -303,6 +303,139 @@ def evaluate_files_chunked(
     return [results[i] for i in range(total)]
 
 
+def evaluate_files_device(
+    reconstructor: SliceReconstructor,
+    params,
+    sampler,
+    num_samples: int | None = None,
+    bucket: int = 128,
+    log=print,
+    steady_probe: bool = False,
+) -> tuple[list[SliceResult], dict[str, float]]:
+    """Device-resident metric sweep: the slice stacks stay in HBM
+    end-to-end and the whole sweep is ONE dispatch per image shape with a
+    single (3, K) fetch per dispatch.
+
+    This is the framework's thesis path for the reference's 940-file
+    validation loop (``test_mod_siren.py:175-255``): where the chunked host
+    sweep round-trips every image host<->device (2 x 0.41 MB/slice through
+    the axon relay — the measured bottleneck at ~50-60 slices/s while the
+    model computes at ~1600 slices/s), this path
+
+    - **online mode** (sampler has ``device_stacks``): reorders the
+      already-HBM-resident image stacks with one ``jnp.take`` — zero host
+      transfers of image data in the whole sweep;
+    - **offline mode**: loads + stacks the ``.npy`` slices on the host and
+      uploads each shape-group ONCE, then never transfers again.
+
+    The sweep length is padded to a multiple of ``bucket`` (repeating the
+    final slice; padding rows are scored and discarded) so shard sweeps of
+    nearby sizes reuse the same compiled program — through the relay a NEW
+    program pays a 45-540 s one-time server-side load, so program identity
+    matters more than the ~bucket/2 slices of wasted compute (~0.04 s).
+
+    Returns ``(results, timings)`` where ``timings`` splits staging (host
+    load + H2D upload; ~0 online), dispatch (client trace+compile) and
+    execute+fetch (program load + device compute + the one small D2H).
+
+    ``steady_probe=True`` re-executes the largest group's program once with
+    a perturbed input (the relay memoizes identical executions, so a
+    verbatim re-run would measure nothing) and adds
+    ``steady_execute_seconds`` / ``steady_slices_per_sec`` /
+    ``program_load_seconds`` — separating the relay's one-time program-load
+    lottery (measured 45-540 s) from the true device rate, inside the SAME
+    committed run rather than a side probe. Costs one extra sweep execution
+    (~1 s at 940 slices).
+    """
+    import time
+
+    total = len(sampler) if num_samples is None else min(num_samples, len(sampler))
+
+    t0 = time.perf_counter()
+    groups: list[tuple[list[str], jax.Array, jax.Array]] = []
+    if hasattr(sampler, "device_stacks"):
+        groups.append(sampler.device_stacks(total))
+    else:
+        pairs = [sampler.next_sample() for _ in range(total)]
+        by_shape: dict[tuple[int, int], list] = {}
+        for p in pairs:
+            by_shape.setdefault(p.fully_sampled.shape, []).append(p)
+        for ps in by_shape.values():
+            groups.append((
+                [p.slice_id for p in ps],
+                jnp.asarray(np.stack([p.fully_sampled for p in ps])),
+                jnp.asarray(np.stack([p.undersampled for p in ps])),
+            ))
+    stage_secs = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    futs = []
+    for ids, fully, under in groups:
+        n = len(ids)
+        k = -(-n // bucket) * bucket
+        if k != n:
+            idx = jnp.asarray(
+                np.concatenate([np.arange(n), np.full(k - n, n - 1)]),
+                jnp.int32,
+            )
+            fully = jnp.take(fully, idx, axis=0)
+            under = jnp.take(under, idx, axis=0)
+        futs.append(
+            (ids, reconstructor.metrics_chunk_async(params, fully, under))
+        )
+    dispatch_secs = time.perf_counter() - t1
+
+    t2 = time.perf_counter()
+    results: list[SliceResult] = []
+    for ids, fut in futs:
+        vals = np.asarray(fut)  # the ONE (3, K) fetch for this group
+        for j, sid in enumerate(ids):
+            results.append(
+                SliceResult(
+                    slice_id=sid,
+                    psnr=float(vals[0, j]),
+                    ssim=float(vals[1, j]),
+                    nrmse=float(vals[2, j]),
+                )
+            )
+    fetch_secs = time.perf_counter() - t2
+
+    timings = {
+        "stage_seconds": stage_secs,
+        "dispatch_seconds": dispatch_secs,
+        "execute_fetch_seconds": fetch_secs,
+    }
+    log(
+        f"device sweep: {total} slices staged in {stage_secs:.2f}s, "
+        f"dispatched in {dispatch_secs:.2f}s (trace+compile), "
+        f"executed+fetched in {fetch_secs:.2f}s"
+    )
+
+    if steady_probe and groups:
+        ids, fully, under = max(groups, key=lambda g: len(g[0]))
+        n = len(ids)
+        k = -(-n // bucket) * bucket
+        idx = jnp.asarray(
+            np.concatenate([np.arange(n), np.full(k - n, n - 1)]), jnp.int32
+        )
+        fully_p = jnp.take(fully, idx, axis=0) + jnp.float32(1e-7)
+        under_p = jnp.take(under, idx, axis=0)
+        t3 = time.perf_counter()
+        np.asarray(
+            reconstructor.metrics_chunk_async(params, fully_p, under_p)
+        )
+        steady = time.perf_counter() - t3
+        timings["steady_execute_seconds"] = steady
+        timings["steady_slices_per_sec"] = k / steady
+        timings["program_load_seconds"] = max(0.0, fetch_secs - steady)
+        log(
+            f"device sweep steady probe: {k} slices in {steady:.2f}s "
+            f"({k / steady:.1f} slices/s); attributed program load "
+            f"{timings['program_load_seconds']:.2f}s"
+        )
+    return results, timings
+
+
 def gather_shard_results(results: list[SliceResult]) -> list[SliceResult]:
     """All-gather per-host eval results across processes (pod-parallel
     sweep): every host contributes its file-shard's rows, every host

@@ -60,6 +60,25 @@ def metric_pass_seconds(output: str) -> float | None:
     return None
 
 
+def device_sweep_timings(output: str) -> dict:
+    """Parse the CLI's device-sweep timing lines into a dict (staging,
+    dispatch/trace+compile, execute+fetch, and — when the steady probe ran
+    — steady rate + attributed program load)."""
+    out: dict = {}
+    for line in output.splitlines():
+        if line.startswith("device sweep steady probe:"):
+            parts = line.split()
+            out["steady_execute_seconds"] = float(parts[7].rstrip("s"))
+            out["steady_slices_per_sec"] = float(parts[8].lstrip("("))
+            out["program_load_seconds"] = float(parts[-1].rstrip("s"))
+        elif line.startswith("device sweep:"):
+            parts = line.split()
+            out["stage_seconds"] = float(parts[6].rstrip("s,"))
+            out["dispatch_seconds"] = float(parts[9].rstrip("s"))
+            out["execute_fetch_seconds"] = float(parts[-1].rstrip("s"))
+    return out
+
+
 def read_summary(path: pathlib.Path) -> dict:
     out = {}
     for line in path.read_text().splitlines():
@@ -123,14 +142,40 @@ def main():
         "--set", f"data.output_dir={out}",
     ]
 
-    # full unsharded sweep
+    # full unsharded sweep (device-resident path; offline .npy corpus is
+    # bulk-uploaded once). steady_probe attributes program-load vs device
+    # rate inside this committed run.
     t1 = time.time()
-    full_out = sh(common + ["--set", "data.output_name=full"])
+    full_out = sh(common + ["--set", "data.output_name=full",
+                            "--set", "data.steady_probe=true"])
     full_secs = time.time() - t1
     full_metric_secs = metric_pass_seconds(full_out)
+    full_device = device_sweep_timings(full_out)
     n = args.files * args.slices
     print(f"unsharded sweep: {n} slices in {full_secs:.1f}s "
           f"= {n / full_secs:.2f} slices/s", flush=True)
+
+    # online no-disk full sweep: raw .h5 -> device mask+IFFT -> metrics.
+    # ZERO image bytes cross the host link (the r5 thesis path); mask keys
+    # are the stable offline derivation so metrics match the .npy corpus
+    # (bit-exact on CPU; on-chip FFT rounding differs in the last ulps).
+    t_on = time.time()
+    online_out = sh([
+        sys.executable, "test_mod_siren.py",
+        "--set", f"data.dataset={data}",
+        "--set", "data.online=true",
+        "--set", f"data.model_path={model_dir}",
+        "--set", "data.max_slice_num=100",
+        "--set", "data.batch_patches=512",
+        "--set", f"data.output_dir={out}",
+        "--set", "data.output_name=online_full",
+        "--set", "data.steady_probe=true",
+    ])
+    online_secs = time.time() - t_on
+    online_metric_secs = metric_pass_seconds(online_out)
+    online_device = device_sweep_timings(online_out)
+    print(f"online no-disk sweep: {n} slices in {online_secs:.1f}s e2e",
+          flush=True)
 
     # two manual shards + merge; must equal the unsharded artifacts
     t2 = time.time()
@@ -160,25 +205,41 @@ def main():
     )
     print("sharded+merged per-file rows == unsharded rows (exact)", flush=True)
 
+    # online no-disk summary must agree with the offline corpus (same
+    # stable mask keys; on-chip FFT rounding allows tiny metric drift)
+    online_sum = read_summary(out / "online_full" / "metrics_summary.txt")
+    for metric, tol in (("PSNR", 0.05), ("SSIM", 0.001), ("NRMSE", 0.001)):
+        a, b = full_sum[metric]["mean"], online_sum[metric]["mean"]
+        assert abs(a - b) < tol, (metric, a, b)
+    print("online no-disk summary == offline summary (within FFT rounding)",
+          flush=True)
+
     (root / "sweep940.json").write_text(json.dumps({
         "slices": n,
         "image_size": args.size,
-        "eval_chunk": args.chunk,
         "model_dir": str(pathlib.Path(model_dir).relative_to(REPO)),
         "datagen_seconds": round(gen_secs, 1),
         "unsharded_seconds": round(full_secs, 1),
         "unsharded_slices_per_sec": round(n / full_secs, 3),
-        # the metric pass as timed inside the CLI — end-to-end minus
-        # subprocess startup/restore/plots; itself includes the highly
-        # variable (measured 45-540 s) one-time axon-relay program load,
-        # after which the pipeline streams at ~50-60 slices/s
+        # metric pass as timed inside the CLI (end-to-end minus subprocess
+        # startup/restore/plots). The device-resident sweep is one dispatch
+        # + one (3,K) fetch; *_device splits it into staging / trace+compile
+        # / execute+fetch, and the steady probe separates the relay's
+        # one-time program load from the true device rate.
         "metric_pass_seconds": {
             "full": full_metric_secs,
+            "online_full": online_metric_secs,
             "shard0": metric_pass_seconds(s0_out),
             "shard1": metric_pass_seconds(s1_out),
         },
+        "full_device": full_device,
+        "online_device": online_device,
+        "online_seconds_e2e": round(online_secs, 1),
+        "program_load_seconds": full_device.get("program_load_seconds"),
+        "steady_slices_per_sec": full_device.get("steady_slices_per_sec"),
         "two_shard_plus_merge_seconds": round(shard_secs, 1),
         "summary": full_sum,
+        "online_summary": online_sum,
     }, indent=2) + "\n")
     print(f"wrote {root / 'sweep940.json'}", flush=True)
 

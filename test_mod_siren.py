@@ -60,6 +60,7 @@ def main():
         SliceReconstructor,
         evaluate_files,
         evaluate_files_chunked,
+        evaluate_files_device,
         gather_shard_results,
         merge_shard_csvs,
         write_metrics_artifacts,
@@ -133,7 +134,13 @@ def main():
             inner_patch_size=mcfg.inner_patch_size,
             remask_each_epoch=False,
         )
-        sampler = OnlineSampler(online_ds, num_samples=ecfg.num_samples)
+        # the device sweep never needs host image copies — skip the bulk
+        # D2H prefetch (visual samples fall back to cached per-slice fetches)
+        sampler = OnlineSampler(
+            online_ds,
+            num_samples=ecfg.num_samples,
+            host_prefetch=False if ecfg.device_sweep else None,
+        )
         visual_sampler = sampler
     else:
         sampler_kwargs = dict(
@@ -209,7 +216,13 @@ def main():
     import time
 
     t_metric = time.perf_counter()
-    if ecfg.eval_chunk > 1:
+    if ecfg.device_sweep:
+        results, _ = evaluate_files_device(
+            reconstructor, state.params, sampler,
+            num_samples=ecfg.metric_samples,
+            steady_probe=ecfg.steady_probe,
+        )
+    elif ecfg.eval_chunk > 1:
         results = evaluate_files_chunked(
             reconstructor, state.params, sampler,
             num_samples=ecfg.metric_samples, chunk=ecfg.eval_chunk,
