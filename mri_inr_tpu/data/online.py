@@ -167,6 +167,11 @@ class OnlineKspaceDataset:
             )(imgs)  # (N, P, outer, outer)
             return patches.reshape(-1, outer, outer), imgs
 
+        # separate images-only program: the eval sweep needs the (N, H, W)
+        # stacks but not the ~4x larger training tile stacks — materializing
+        # tiles for a pure eval run would waste HBM (1.7 GB/stack at
+        # 940x320x320) and compute
+        self._imgs_fn = jax.jit(images, static_argnums=(2,))
         return jax.jit(tile_all, static_argnums=(2,))
 
     # ------------------------------------------------------------------
@@ -218,8 +223,16 @@ class OnlineKspaceDataset:
         metric array (round-4 weakness: ``prefetch_host_images`` pulled the
         whole stack to numpy and the chunked sweep re-uploaded it, leaving
         the pipeline relay-transfer-bound at ~1/25th of its compute rate)."""
-        self.materialize(0)
+        self.materialize_images()
         return self._fully_imgs, self._under_imgs
+
+    def materialize_images(self) -> None:
+        """Fill the epoch-0 (fully, under) IMAGE stacks without computing
+        the training tile stacks (eval-only consumers)."""
+        if getattr(self, "_fully_imgs", None) is None:
+            self._fully_imgs = self._imgs_fn(self._k, jnp.int32(0), False)
+        if getattr(self, "_under_imgs", None) is None:
+            self._under_imgs = self._imgs_fn(self._k, jnp.int32(0), True)
 
     def prefetch_host_images(self) -> None:
         """Fetch the WHOLE epoch-0 image stack to the host in one transfer
@@ -230,7 +243,7 @@ class OnlineKspaceDataset:
         bulk fetch of a small corpus would waste host RAM (the stack is
         ~0.8 MB/slice at 320x320)."""
         if getattr(self, "_imgs_np", None) is None:
-            self.materialize(0)
+            self.materialize_images()
             self._imgs_np = (
                 np.asarray(self._fully_imgs),
                 np.asarray(self._under_imgs),
@@ -246,7 +259,7 @@ class OnlineKspaceDataset:
         if getattr(self, "_imgs_np", None) is not None:
             fully, under = self._imgs_np[0][i], self._imgs_np[1][i]
         else:
-            self.materialize(0)
+            self.materialize_images()
             cache = getattr(self, "_slice_np_cache", None)
             if cache is None:
                 cache = self._slice_np_cache = {}
