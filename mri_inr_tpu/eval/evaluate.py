@@ -92,7 +92,15 @@ class SliceReconstructor:
             self._replicated_params_id = id(params)
         return self._params
 
-    def _build(self, height: int, width: int, num_padded: int):
+    def _build(self, height: int, width: int, num_padded: int,
+               metrics_only: bool = False):
+        """``metrics_only``: skip the fully/under reference folds (the
+        metric sweep never reads them, and the plain overlap-add fold of
+        unfiltered patches reproduces the input image exactly — every
+        overlapping copy holds identical values, so the average is the
+        original up to ~1e-7 fp reassociation; asserted in
+        tests/test_eval_device.py). Saves one gather + two folds per slice
+        in the scanned sweep body."""
         outer, inner, siren = self.outer, self.inner, self.siren
         grid = tiling.grid_shape(height, width, inner)
         apply_fn = self.apply_fn
@@ -118,7 +126,6 @@ class SliceReconstructor:
 
         def run(params, fully_img, under_img):
             under_patches = tiling.image_to_patches(under_img, outer, inner)
-            fully_patches = tiling.image_to_patches(fully_img, outer, inner)
             n = under_patches.shape[0]
             valid = tiling.classify_black_patches(under_patches)
             padded = jnp.zeros((num_padded, outer, outer), under_patches.dtype)
@@ -135,6 +142,11 @@ class SliceReconstructor:
                 recon = tiling.patches_to_image_weighted_average(
                     pred, grid, siren, inner
                 )
+            if metrics_only:
+                return metrics_mod.image_metrics(
+                    fully_img.astype(jnp.float32), recon
+                )
+            fully_patches = tiling.image_to_patches(fully_img, outer, inner)
             fully = tiling.patches_to_image(fully_patches, grid, outer, inner)
             under = tiling.patches_to_image(under_patches, grid, outer, inner)
             m = metrics_mod.image_metrics(fully, recon)
@@ -158,11 +170,11 @@ class SliceReconstructor:
         ONE dispatch scores ``chunk`` slices (the host<->device round trip
         otherwise dominates the 940-file sweep: ~23.5 ms/dispatch through
         the axon relay vs ~2 ms of compute per 320x320 slice)."""
-        single = self._build(height, width, num_padded)
+        single = self._build(height, width, num_padded, metrics_only=True)
 
         def run_many(params, fully_stack, under_stack):
             def body(carry, fu):
-                _, _, _, m = single(params, fu[0], fu[1])
+                m = single(params, fu[0], fu[1])
                 return carry, (m["psnr"], m["ssim"], m["nrmse"])
 
             _, ms = jax.lax.scan(

@@ -218,11 +218,17 @@ def _bwd_kernel(
     activation: str,
     rate: float,
     sin5: bool = False,
+    dw_partials: bool = False,
 ):
     """One batch-block backward: rematerialized forward (storing per-layer
     matmul inputs in VMEM scratch) + reverse sweep. Weight-space grads
     accumulate across blocks (constant-index output blocks; TPU grid
-    iterations are sequential)."""
+    iterations are sequential) — except with ``dw_partials``, where each
+    block WRITES its dW/dsb/dlw/dlb partial to its own output block (no
+    read-modify-write of a resident accumulator; XLA reduces the partials
+    outside the kernel). dbase stays accumulated either way: per-block
+    (seq, hidden) partials would cost grid x 590 KB of HBM for a cheap
+    VMEM add."""
     tb = mods_ref.shape[0]
     seq, hidden = base_ref.shape
     n = tb * seq
@@ -251,13 +257,46 @@ def _bwd_kernel(
         )
         return r.reshape(tb, 1, hidden)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dbase_ref[:] = jnp.zeros_like(dbase_ref)
-        dsw_ref[:] = jnp.zeros_like(dsw_ref)
-        dsb_ref[:] = jnp.zeros_like(dsb_ref)
-        dlw_ref[:] = jnp.zeros_like(dlw_ref)
-        dlb_ref[:] = jnp.zeros_like(dlb_ref)
+    if dw_partials:
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dbase_ref[:] = jnp.zeros_like(dbase_ref)
+
+        # own output block per grid step: plain stores, no accumulation
+        def acc_sw(i, v):
+            dsw_ref[0, i] = v
+
+        def acc_sb(i, v):
+            dsb_ref[0, i] = jnp.broadcast_to(v, dsb_ref.shape[2:])
+
+        def acc_lw(v):
+            dlw_ref[0] = jnp.broadcast_to(v, dlw_ref.shape[1:])
+
+        def acc_lb(v):
+            dlb_ref[0] = jnp.full(dlb_ref.shape[1:], v, dlb_ref.dtype)
+
+    else:
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dbase_ref[:] = jnp.zeros_like(dbase_ref)
+            dsw_ref[:] = jnp.zeros_like(dsw_ref)
+            dsb_ref[:] = jnp.zeros_like(dsb_ref)
+            dlw_ref[:] = jnp.zeros_like(dlw_ref)
+            dlb_ref[:] = jnp.zeros_like(dlb_ref)
+
+        def acc_sw(i, v):
+            dsw_ref[i] += v
+
+        def acc_sb(i, v):
+            dsb_ref[i] += jnp.broadcast_to(v, dsb_ref.shape[1:])
+
+        def acc_lw(v):
+            dlw_ref[:] += jnp.broadcast_to(v, dlw_ref.shape)
+
+        def acc_lb(v):
+            dlb_ref[:] += v
 
     # ---- rematerialized forward, storing layer inputs x_0..x_{L-1} ----
     base = base_ref[:].reshape(1, seq, hidden)
@@ -284,16 +323,15 @@ def _bwd_kernel(
     g = g_ref[:]  # (n, 1)
     dpre_last = g * dact_last(pre_last)  # (n, 1)
 
-    dlw_ref[:] += jnp.broadcast_to(
+    acc_lw(
         jax.lax.dot_general(
             dpre_last,
             x_last,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ),
-        dlw_ref.shape,
+        )
     )
-    dlb_ref[:] += jnp.sum(dpre_last)
+    acc_lb(jnp.sum(dpre_last))
 
     # dX for the last projection: lane-splat of the column against the
     # (1, H) weight row
@@ -313,15 +351,16 @@ def _bwd_kernel(
         dpre_f = dpre.reshape(n, hidden)
         dpre_m = dpre_f.astype(mm_dtype)
 
-        dsw_ref[i] += jax.lax.dot_general(
-            x_scratch[i][:],
-            dpre_m,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        acc_sw(
+            i,
+            jax.lax.dot_general(
+                x_scratch[i][:],
+                dpre_m,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
         )
-        dsb_ref[i] += jnp.broadcast_to(
-            jnp.sum(dpre_f, axis=0, keepdims=True), dsb_ref.shape[1:]
-        )
+        acc_sb(i, jnp.sum(dpre_f, axis=0, keepdims=True))
         dx3 = jax.lax.dot_general(
             dpre_m,
             sw_ref[i],
@@ -346,6 +385,7 @@ def _make_chain(
     bwd_block_b: int,
     interpret: bool,
     sin5: bool = False,
+    dw_partials: bool = False,
 ):
     """Build the custom_vjp chain op for one static configuration."""
 
@@ -399,28 +439,67 @@ def _make_chain(
         padded = mods.shape[0]
         seq, hidden = base.shape
         tb = bwd_block_b
-        grid = (padded // tb,)
+        nblocks = padded // tb
+        grid = (nblocks,)
         n = tb * seq
-        out_shapes = (
-            jax.ShapeDtypeStruct((padded, num_layers * hidden), jnp.float32),
-            jax.ShapeDtypeStruct((seq, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((num_l, hidden, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((num_l, 8, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((8, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        dmods_shape = jax.ShapeDtypeStruct(
+            (padded, num_layers * hidden), jnp.float32
         )
-        out_specs = (
-            pl.BlockSpec(
-                (tb, num_layers * hidden),
-                lambda i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            full(seq, hidden),
-            full(num_l, hidden, hidden),
-            full(num_l, 8, hidden),
-            full(8, hidden),
-            full(8, 128),
+        dmods_spec = pl.BlockSpec(
+            (tb, num_layers * hidden), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
         )
+        if dw_partials:
+            # one output block per grid step; XLA reduces outside
+            out_shapes = (
+                dmods_shape,
+                jax.ShapeDtypeStruct((seq, hidden), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (nblocks, num_l, hidden, hidden), jnp.float32
+                ),
+                jax.ShapeDtypeStruct((nblocks, num_l, 8, hidden), jnp.float32),
+                jax.ShapeDtypeStruct((nblocks, 8, hidden), jnp.float32),
+                jax.ShapeDtypeStruct((nblocks, 8, 128), jnp.float32),
+            )
+            out_specs = (
+                dmods_spec,
+                full(seq, hidden),
+                pl.BlockSpec(
+                    (1, num_l, hidden, hidden),
+                    lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, num_l, 8, hidden),
+                    lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 8, hidden), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 8, 128), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            )
+        else:
+            out_shapes = (
+                dmods_shape,
+                jax.ShapeDtypeStruct((seq, hidden), jnp.float32),
+                jax.ShapeDtypeStruct((num_l, hidden, hidden), jnp.float32),
+                jax.ShapeDtypeStruct((num_l, 8, hidden), jnp.float32),
+                jax.ShapeDtypeStruct((8, hidden), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            )
+            out_specs = (
+                dmods_spec,
+                full(seq, hidden),
+                full(num_l, hidden, hidden),
+                full(num_l, 8, hidden),
+                full(8, hidden),
+                full(8, 128),
+            )
         dmods, dbase, dsw, dsb8, dlw8, dlb8 = pl.pallas_call(
             functools.partial(
                 _bwd_kernel,
@@ -429,6 +508,7 @@ def _make_chain(
                 activation=activation,
                 rate=rate,
                 sin5=sin5,
+                dw_partials=dw_partials,
             ),
             out_shape=out_shapes,
             grid=grid,
@@ -462,14 +542,20 @@ def _make_chain(
             ),
             # the rematerialized chain + reverse-sweep temporaries exceed the
             # 16 MB default scoped-vmem budget (~60 MB at block 8); the v5e
-            # core has 128 MB of physical VMEM — raise the cap instead of
-            # shrinking the block below Mosaic's 8-sublane minimum
+            # core has 128 MB of physical VMEM — raise the cap (127 MB; the
+            # full 128 leaves Mosaic no headroom) instead of shrinking the
+            # block below Mosaic's 8-sublane minimum
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=127 * 1024 * 1024
             ),
             interpret=interpret,
         )(seed, mods, base, s_w, s_b, last_w, last_b,
           g.reshape(padded * seq, 1))
+        if dw_partials:
+            dsw = dsw.sum(axis=0)
+            dsb8 = dsb8.sum(axis=0)
+            dlw8 = dlw8.sum(axis=0)
+            dlb8 = dlb8.sum(axis=0)
         return (
             dmods,
             dbase,
@@ -511,6 +597,7 @@ def siren_chain_train(
     bwd_block_b: int = 8,
     interpret: bool = False,
     sin5: bool = False,
+    dw_partials: bool = False,
 ) -> jax.Array:
     """(B, L*H) modulations -> (B, S) outputs; differentiable wrt ``mods``
     and the chain weights in ``kp`` via the fused Pallas fwd/bwd pair.
@@ -536,6 +623,7 @@ def siren_chain_train(
         bwd_block_b,
         interpret,
         sin5,
+        dw_partials,
     )
     out = chain(mods, kp.base, kp.s_w, kp.s_b, kp.last_w, kp.last_b, seed)
     return out[:batch]
@@ -553,6 +641,7 @@ def fused_train_apply(
     interpret: bool = False,
     mm_dtype: jnp.dtype = jnp.bfloat16,
     sin5: bool = False,
+    dw_partials: bool = False,
 ) -> jax.Array:
     """Differentiable flagship forward for the TRAIN step: XLA conv encoder
     + modulator (autodiff) -> fused Pallas SIREN chain (custom_vjp) ->
@@ -587,6 +676,7 @@ def fused_train_apply(
         bwd_block_b=bwd_block_b,
         interpret=interpret,
         sin5=sin5,
+        dw_partials=dw_partials,
     )
     s = model.siren_patch_size
     return out.reshape(tiles.shape[0], s, s)

@@ -81,19 +81,22 @@ def splice_pretrained_encoder(params, autoencoder_params):
 
 
 def _make_forward(model, use_pallas: bool, interpret: bool,
-                  sin5: bool = False):
+                  sin5: bool = False, bwd_block_b: int = 8,
+                  dw_partials: bool = False):
     """(params, under, dropout_rng) -> (B, siren, siren) train-mode forward:
     the fused Pallas custom_vjp chain (``ops/siren_train_kernel``) when
     requested, else the Flax autodiff path. Residual models are not fused.
     ``sin5``: degree-5 sine/cosine in the train kernels (training speed
-    mode, ``training.sin5``, opt-in — changes training numerics)."""
+    mode, ``training.sin5``, opt-in — changes training numerics).
+    ``bwd_block_b``/``dw_partials``: backward-kernel schedule knobs
+    (benchmarks/bench_bwd_variants.py measures the tradeoffs)."""
     if use_pallas and not getattr(model, "residual", False):
         from mri_inr_tpu.ops import siren_train_kernel as stk
 
         def forward(params, under, dropout_rng):
             return stk.fused_train_apply(
                 model, params, under, dropout_rng, interpret=interpret,
-                sin5=sin5,
+                sin5=sin5, bwd_block_b=bwd_block_b, dw_partials=dw_partials,
             )
 
         return forward

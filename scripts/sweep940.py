@@ -217,7 +217,11 @@ def main():
     (root / "sweep940.json").write_text(json.dumps({
         "slices": n,
         "image_size": args.size,
-        "model_dir": str(pathlib.Path(model_dir).relative_to(REPO)),
+        "model_dir": (
+            str(md.relative_to(REPO))
+            if (md := pathlib.Path(model_dir).resolve()).is_relative_to(REPO)
+            else str(md)
+        ),
         "datagen_seconds": round(gen_secs, 1),
         "unsharded_seconds": round(full_secs, 1),
         "unsharded_slices_per_sec": round(n / full_secs, 3),

@@ -273,3 +273,33 @@ def test_morlet_sin5_grads(setup):
     g_t = jax.grad(lambda m: jnp.mean(twin(m) ** 2))(mods)
     scale = float(jnp.abs(g_t).max())
     assert float(jnp.abs(g_k - g_t).max()) < 3e-2 * max(scale, 1.0)
+
+
+def test_dw_partials_grads_match_accumulate(setup):
+    """The per-block-dW backward variant (round-5 schedule experiment:
+    each grid step writes its own dW/dsb/dlw/dlb partial block, reduced by
+    XLA outside the kernel) must produce the same gradients as the
+    in-kernel accumulation mode — with dropout ON and a block-misaligned
+    batch so pad rows and mask regeneration are both exercised."""
+    model_d = _model(dropout=0.1)
+    tiles = jnp.asarray(
+        np.random.default_rng(11).uniform(size=(13, 32, 32)).astype(np.float32)
+    )
+    params = model_d.init(jax.random.key(1), tiles[:2])["params"]
+    key = jax.random.key(5)
+
+    def loss(p, dwp):
+        pred = stk.fused_train_apply(
+            model_d, p, tiles, key, interpret=True, mm_dtype=jnp.float32,
+            dw_partials=dwp,
+        )
+        return jnp.mean(pred**2)
+
+    g0, _ = jax.flatten_util.ravel_pytree(
+        jax.grad(lambda p: loss(p, False))(params)
+    )
+    g1, _ = jax.flatten_util.ravel_pytree(
+        jax.grad(lambda p: loss(p, True))(params)
+    )
+    # identical math, different reduction order: f32 reassociation only
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
