@@ -125,6 +125,11 @@ class TrainingConfig:
     # PSNR 28.404 vs the degree-9 baseline's 28.414 (SSIM/NRMSE equal) —
     # quality-neutral, so the r4 default. Set false for degree-9 runs.
     sin5: bool = True
+    # control experiment: keep the spliced latent-encoder trunk FROZEN at
+    # its loaded initialization (grads zeroed) while everything else trains
+    # — used to demonstrate the reference's VGG-splice ~5 dB collapse is an
+    # initialization artifact (RESULTS.md vgg_frozen row)
+    freeze_encoder: bool = False
 
     def __post_init__(self):
         self.optimizer = _canon(self.optimizer, OPTIMIZERS, "optimizer")

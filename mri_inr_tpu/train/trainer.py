@@ -112,6 +112,27 @@ def _make_forward(model, use_pallas: bool, interpret: bool,
     return forward
 
 
+
+def _freeze_encoder_grads(grads):
+    """Zero the latent-encoder trunk gradients (``training.freeze_encoder``):
+    the spliced conv stack stays at its loaded initialization while the
+    latent head / modulator / SIREN train. This is the reference-splice
+    control experiment (the reference installs an ImageNet-trained VGG
+    trunk, ``src/networks/encoding/vgg.py:325-363`` +
+    ``modulated_siren.py:256-262``; freezing a non-corpus trunk isolates
+    whether its initialization alone reproduces the ~5 dB collapse,
+    RESULTS.md)."""
+    import flax
+
+    g = flax.core.unfreeze(grads)
+    enc = g["encoder"]["encoder"]
+    if "trunk" in enc:
+        enc["trunk"] = jax.tree.map(jnp.zeros_like, enc["trunk"])
+    else:
+        g["encoder"]["encoder"] = jax.tree.map(jnp.zeros_like, enc)
+    return g
+
+
 def make_train_step(
     model,
     loss_fn,
@@ -121,6 +142,7 @@ def make_train_step(
     use_pallas: bool = False,
     interpret: bool = False,
     sin5: bool = False,
+    freeze_encoder: bool = False,
 ):
     """Build the jitted (state, fully, under, rng) -> (state, loss) step.
 
@@ -138,7 +160,10 @@ def make_train_step(
             pred = forward(p, under, dropout_rng)
             return loss_fn(pred.astype(jnp.float32), target)
 
-        return jax.value_and_grad(loss_of)(params)
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        if freeze_encoder:
+            grads = _freeze_encoder_grads(grads)
+        return loss, grads
 
     if mesh is None:
 
@@ -279,6 +304,7 @@ def make_scan_epoch(
     use_pallas: bool = False,
     interpret: bool = False,
     sin5: bool = False,
+    freeze_encoder: bool = False,
 ):
     """One-dispatch epoch: the whole (device-resident) tile set + a
     (num_batches, batch) permutation go in, ``lax.scan`` runs every train
@@ -306,6 +332,8 @@ def make_scan_epoch(
                 return loss_fn(pred.astype(jnp.float32), target)
 
             loss, grads = jax.value_and_grad(loss_of)(st.params)
+            if freeze_encoder:
+                grads = _freeze_encoder_grads(grads)
             return st.apply_gradients(grads=grads), loss
 
         def eval_body(st, batch_idx):
@@ -349,6 +377,7 @@ class Trainer:
         interpret: bool = False,
         device_data: bool = False,
         sin5: bool = False,
+        freeze_encoder: bool = False,
     ):
         self.model = model
         self.state = state
@@ -367,6 +396,7 @@ class Trainer:
         self.train_step = make_train_step(
             model, loss_fn, outer_patch_size, siren_patch_size, mesh,
             use_pallas=use_pallas, interpret=interpret, sin5=sin5,
+            freeze_encoder=freeze_encoder,
         )
         self.eval_step = make_eval_step(
             model, loss_fn, outer_patch_size, siren_patch_size, mesh,
@@ -383,6 +413,7 @@ class Trainer:
             self._scan_epoch = make_scan_epoch(
                 model, loss_fn, outer_patch_size, siren_patch_size,
                 use_pallas=use_pallas, interpret=interpret, sin5=sin5,
+                freeze_encoder=freeze_encoder,
             )
         # snapshot rendering shares the fused eval path when training fused
         self.reconstructor = SliceReconstructor(

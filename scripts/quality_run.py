@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--slices", type=int, default=4)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--platform", default=None)
+    # r5 "hard mode" corpus knobs (see data/synthetic.py): complex phase,
+    # k-space noise at --snr-db, tissue-like texture
+    ap.add_argument("--phase", action="store_true")
+    ap.add_argument("--snr-db", type=float, default=None)
+    ap.add_argument("--texture", type=float, default=0.0)
     args = ap.parse_args()
 
     root = (REPO / args.root).resolve()
@@ -65,6 +70,7 @@ def main():
             synthetic.write_synthetic_h5(
                 d, num_files=num, num_slices=args.slices,
                 height=args.size, width=args.size, seed=seed,
+                phase=args.phase, snr_db=args.snr_db, texture=args.texture,
             )
             process_files(d)
         stamps[name] = str(d / "processed" / "metadata.csv")

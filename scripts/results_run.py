@@ -32,6 +32,8 @@ import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
+# overridable via --quality-root / --out-root (the r5 hard-corpus table
+# points these at runs/quality_hard + runs/results_hard)
 QUALITY = REPO / "runs" / "quality"
 ROOT = REPO / "runs" / "results"
 
@@ -135,7 +137,16 @@ def main():
         "--rows",
         default="morlet,edge,residual,vgg,perceptual,acc_005_8,acc_01_6,acc_02_4",
     )
+    ap.add_argument("--quality-root", default=None,
+                    help="baseline quality run root (default runs/quality)")
+    ap.add_argument("--out-root", default=None,
+                    help="row output root (default runs/results)")
     args = ap.parse_args()
+    global QUALITY, ROOT
+    if args.quality_root:
+        QUALITY = (REPO / args.quality_root).resolve()
+    if args.out_root:
+        ROOT = (REPO / args.out_root).resolve()
     plat = ["--platform", args.platform] if args.platform else []
 
     ROOT.mkdir(parents=True, exist_ok=True)

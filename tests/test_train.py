@@ -172,3 +172,36 @@ def test_trainer_sigterm_preemption(tmp_path, tiny_data, tiny_model):
     assert signal.getsignal(signal.SIGTERM) in (
         signal.SIG_DFL, signal.default_int_handler,
     ) or callable(signal.getsignal(signal.SIGTERM))
+
+
+def test_freeze_encoder_grads():
+    """training.freeze_encoder: the latent-encoder (sub)tree stays at its
+    initialization across steps while the SIREN/modulator train — the
+    reference-splice control experiment's mechanism (RESULTS.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_inr_tpu.models.modulated_siren import ModulatedSiren
+    from mri_inr_tpu.train import losses
+    from mri_inr_tpu.train.trainer import create_train_state, make_train_step
+
+    model = ModulatedSiren(dim_hidden=32, latent_dim=32, num_layers=3,
+                           compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    fully = jnp.asarray(rng.uniform(size=(8, 32, 32)).astype(np.float32))
+    under = jnp.asarray(rng.uniform(size=(8, 32, 32)).astype(np.float32))
+    state = create_train_state(model, jax.random.key(0), under[:2], "adam", 1e-3)
+    step = make_train_step(model, losses.mse, 32, 24, freeze_encoder=True)
+
+    before = jax.tree.map(np.asarray, state.params)
+    for _ in range(2):
+        state, _ = step(state, fully, under, jax.random.key(1))
+    after = jax.tree.map(np.asarray, state.params)
+
+    froz_b, _ = jax.flatten_util.ravel_pytree(before["encoder"]["encoder"])
+    froz_a, _ = jax.flatten_util.ravel_pytree(after["encoder"]["encoder"])
+    np.testing.assert_array_equal(np.asarray(froz_a), np.asarray(froz_b))
+    live_b, _ = jax.flatten_util.ravel_pytree(before["net"])
+    live_a, _ = jax.flatten_util.ravel_pytree(after["net"])
+    assert float(np.abs(np.asarray(live_a) - np.asarray(live_b)).max()) > 0

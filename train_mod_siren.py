@@ -245,6 +245,7 @@ def main():
         use_pallas=use_pallas,
         device_data=tcfg.device_data,
         sin5=tcfg.sin5,
+        freeze_encoder=tcfg.freeze_encoder,
     )
     if resume:
         trainer.state = ckpt_lib.restore_state(resume[0], resume[1], trainer.state)
