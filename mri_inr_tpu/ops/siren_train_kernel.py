@@ -594,10 +594,10 @@ def siren_chain_train(
     activation: str = "sine",
     dropout_rate: float = 0.0,
     block_b: int = 8,
-    bwd_block_b: int = 8,
+    bwd_block_b: int = 16,
     interpret: bool = False,
     sin5: bool = False,
-    dw_partials: bool = False,
+    dw_partials: bool = True,
 ) -> jax.Array:
     """(B, L*H) modulations -> (B, S) outputs; differentiable wrt ``mods``
     and the chain weights in ``kp`` via the fused Pallas fwd/bwd pair.
@@ -637,11 +637,11 @@ def fused_train_apply(
     *,
     deterministic: bool = False,
     block_b: int = 8,
-    bwd_block_b: int = 8,
+    bwd_block_b: int = 16,
     interpret: bool = False,
     mm_dtype: jnp.dtype = jnp.bfloat16,
     sin5: bool = False,
-    dw_partials: bool = False,
+    dw_partials: bool = True,
 ) -> jax.Array:
     """Differentiable flagship forward for the TRAIN step: XLA conv encoder
     + modulator (autodiff) -> fused Pallas SIREN chain (custom_vjp) ->

@@ -81,8 +81,8 @@ def splice_pretrained_encoder(params, autoencoder_params):
 
 
 def _make_forward(model, use_pallas: bool, interpret: bool,
-                  sin5: bool = False, bwd_block_b: int = 8,
-                  dw_partials: bool = False):
+                  sin5: bool = False, bwd_block_b: int = 16,
+                  dw_partials: bool = True):
     """(params, under, dropout_rng) -> (B, siren, siren) train-mode forward:
     the fused Pallas custom_vjp chain (``ops/siren_train_kernel``) when
     requested, else the Flax autodiff path. Residual models are not fused.

@@ -207,6 +207,39 @@ def main():
             encoder=str(vgg_ckpt),
         )
 
+    if "vgg_frozen_rand" in wanted:
+        # VERDICT r4 control experiment: the reference splices an
+        # ImageNet-trained (non-corpus) VGG trunk and loses ~5 dB
+        # (README.md:38); RESULTS.md argues initialization artifact. This
+        # row freezes a RANDOM (non-corpus) trunk — if the collapse
+        # reproduces, unadapted trunk features alone explain it.
+        specs["vgg_frozen_rand"] = dict(
+            train_overrides=["--set", "model.encoder_type=vgg",
+                             "--set", "training.freeze_encoder=true",
+                             "--set", "training.use_pallas=false"],
+            eval_overrides=["--set", "model.encoder_type=vgg"],
+            encoder=None,
+        )
+
+    if "vgg_frozen_corpus" in wanted:
+        # separating control: the corpus-pretrained trunk, frozen. If this
+        # row does NOT collapse while vgg_frozen_rand does, the damage is
+        # attributable to initialization, not to freezing per se.
+        vgg_dir = ROOT / "encoder_vgg"
+        vgg_ckpt = vgg_dir / f"vgg_autoencoder_epoch_{args.ae_epochs - 1:05d}"
+        if not vgg_ckpt.exists():
+            sh([sys.executable, "train_encoder.py", *plat,
+                "--dataset", stamps["train"], "--output", str(vgg_dir),
+                "--model", "vgg", "--epochs", str(args.ae_epochs),
+                "--batch-size", "256"])
+        specs["vgg_frozen_corpus"] = dict(
+            train_overrides=["--set", "model.encoder_type=vgg",
+                             "--set", "training.freeze_encoder=true",
+                             "--set", "training.use_pallas=false"],
+            eval_overrides=["--set", "model.encoder_type=vgg"],
+            encoder=str(vgg_ckpt),
+        )
+
     if "perceptual" in wanted:
         perc_dir = ROOT / "encoder_perceptual"
         perc_ckpt = perc_dir / f"perceptual_autoencoder_epoch_{args.ae_epochs - 1:05d}"
