@@ -64,6 +64,30 @@ def image_to_patches(
         image, ((pad, pad + vpad), (pad, pad + hpad)), mode="reflect"
     )
     nv, nh = grid_shape(height, width, inner_patch_size)
+    if outer_patch_size % inner_patch_size == 0:
+        # Block formulation, no gather: with stride == inner and
+        # outer == k*inner, the padded image tiles exactly into
+        # (nv+k-1, nh+k-1) non-overlapping inner-sized blocks and patch
+        # (i, j) is the k x k block neighborhood [i:i+k, j:j+k] — k^2
+        # contiguous slices + concats, which XLA lowers to cheap copies.
+        # The equivalent advanced-index gather measured 5.38 ms/call at
+        # 320x320 on the v5e (more than the 441-patch model forward,
+        # 2.14 ms); this path removes the eval sweep's dominant cost
+        # (bit-identical output; runs/results/eval_parts_r5.log).
+        k = outer_patch_size // inner_patch_size
+        inner = inner_patch_size
+        blocks = padded.reshape(
+            nv + k - 1, inner, nh + k - 1, inner
+        ).transpose(0, 2, 1, 3)
+        bands = [
+            jnp.concatenate(
+                [blocks[di : di + nv, dj : dj + nh] for dj in range(k)],
+                axis=3,
+            )
+            for di in range(k)
+        ]
+        patches = jnp.concatenate(bands, axis=2)
+        return patches.reshape(nv * nh, outer_patch_size, outer_patch_size)
     rows = _window_indices(nv, outer_patch_size, inner_patch_size)
     cols = _window_indices(nh, outer_patch_size, inner_patch_size)
     patches = padded[rows[:, None, :, None], cols[None, :, None, :]]
