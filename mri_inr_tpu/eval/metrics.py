@@ -44,9 +44,17 @@ def psnr(gt: jax.Array, pred: jax.Array, data_range: jax.Array | None = None):
 
 
 def _uniform_filter_valid(x: jax.Array, win: int) -> jax.Array:
-    """Mean over each valid win x win window of a 2-D array."""
+    """Mean over each valid win x win window of a 2-D array.
+
+    Separable two-pass formulation: win adds/px per axis instead of win^2
+    per window (the 2-D reduce_window was a measured slice of the eval
+    sweep's VPU time; same result up to f32 reassociation ~1e-7, inside
+    the skimage-golden tolerances)."""
+    rows = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (win, 1), (1, 1), "VALID"
+    )
     summed = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (win, win), (1, 1), "VALID"
+        rows, 0.0, jax.lax.add, (1, win), (1, 1), "VALID"
     )
     return summed / (win * win)
 
