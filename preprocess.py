@@ -37,6 +37,14 @@ def main():
         metavar="N",
         help="first generate N synthetic phantom volumes into --path",
     )
+    # hard-mode phantom knobs (data/synthetic.py): complex phase maps,
+    # k-space noise at a target SNR, band-limited tissue texture
+    parser.add_argument("--phase", action="store_true",
+                        help="synthetic: complex phase maps")
+    parser.add_argument("--snr-db", type=float, default=None,
+                        help="synthetic: k-space noise SNR in dB")
+    parser.add_argument("--texture", type=float, default=0.0,
+                        help="synthetic: texture amplitude (e.g. 0.18)")
     from mri_inr_tpu.utils.platform import add_platform_arg, select_platform
 
     add_platform_arg(parser)
@@ -48,7 +56,10 @@ def main():
     if args.synthetic:
         from mri_inr_tpu.data.synthetic import write_synthetic_h5
 
-        paths = write_synthetic_h5(args.path, num_files=args.synthetic)
+        paths = write_synthetic_h5(
+            args.path, num_files=args.synthetic,
+            phase=args.phase, snr_db=args.snr_db, texture=args.texture,
+        )
         print(f"wrote {len(paths)} synthetic volumes to {args.path}")
 
     masks = [parse_mask(m) for m in args.masks]
