@@ -414,6 +414,14 @@ def fused_siren_forward(
             + num_l * hidden * hidden * 2,
             transcendentals=padded * seq * hidden * num_l,
         ),
+        # the sine chain fits the 16 MB default scoped-vmem budget, but the
+        # MORLET activation's larger VPU working set (exp + sin + square
+        # temporaries per element) measured 17.6 MB at block 16 / B=400
+        # (hard-table morlet row, r5) — raise the cap like the train
+        # kernel does; the v5e core has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         mods,
