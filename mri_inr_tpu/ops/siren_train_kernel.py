@@ -432,6 +432,13 @@ def _make_chain(
                 + num_l * hidden * hidden * 2,
                 transcendentals=padded * seq * hidden * num_l,
             ),
+            # sine fits the 16 MB default scoped-vmem budget; the Morlet
+            # activation's exp+sin+square temporaries (plus the dropout
+            # hash) do not (measured: hard-table morlet row, r5) — same
+            # raised cap as the eval/bwd kernels
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
             interpret=interpret,
         )(seed, mods, base, s_w, s_b, last_w, last_b)
 
