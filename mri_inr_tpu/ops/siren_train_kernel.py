@@ -644,7 +644,7 @@ def fused_train_apply(
     *,
     deterministic: bool = False,
     block_b: int = 8,
-    bwd_block_b: int = 16,
+    bwd_block_b: int | None = None,
     interpret: bool = False,
     mm_dtype: jnp.dtype = jnp.bfloat16,
     sin5: bool = False,
@@ -670,6 +670,11 @@ def fused_train_apply(
     )
     mods = compute_modulations(kp, latent.astype(jnp.float32), num_layers=model.num_layers)
     rate = 0.0 if deterministic else float(model.dropout)
+    if bwd_block_b is None:
+        # block 16 (the r5 sine default) + Morlet's fatter VPU temporaries
+        # exceeds the core's 128 MB physical VMEM (measured 130.3 MB,
+        # hard-table morlet row) — Morlet keeps the r4 block 8 schedule
+        bwd_block_b = 8 if model.activation == "morlet" else 16
     seed = jax.random.randint(dropout_rng, (1,), 0, 2**23).astype(jnp.float32)
     out = siren_chain_train(
         kp,

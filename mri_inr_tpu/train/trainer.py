@@ -81,7 +81,7 @@ def splice_pretrained_encoder(params, autoencoder_params):
 
 
 def _make_forward(model, use_pallas: bool, interpret: bool,
-                  sin5: bool = False, bwd_block_b: int = 16,
+                  sin5: bool = False, bwd_block_b: int | None = None,
                   dw_partials: bool = True):
     """(params, under, dropout_rng) -> (B, siren, siren) train-mode forward:
     the fused Pallas custom_vjp chain (``ops/siren_train_kernel``) when
