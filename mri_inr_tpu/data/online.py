@@ -86,27 +86,29 @@ class OnlineKspaceDataset:
         # proportional to FULL volumes; for corpora that don't fit,
         # preprocess offline instead.
         # staging is the online mode's one-time host cost (~3 GB of
-        # k-space at 940-slice scale): overlap the .h5 reads (thread pool;
-        # h5py releases the GIL during IO) with the per-volume async H2D
-        # dispatches, then stack on device — the serial read-then-upload
-        # loop measured 33-46 s for 235 volumes (sweep940.json staging)
+        # k-space at 940-slice scale): parallelize the .h5 reads (thread
+        # pool; h5py releases the GIL during IO), assemble into one
+        # preallocated host buffer, and upload ONCE — per-volume device
+        # stacking would transiently double the device footprint (every
+        # volume + the stacked copy live simultaneously; r5 review)
         from concurrent.futures import ThreadPoolExecutor
 
         self.stems = [p.stem for p in paths]
         with ThreadPoolExecutor(max_workers=8) as ex:
-            dev_vols = [
-                jnp.asarray(v)  # (S, H, W, 2) fp32, async upload
-                for v in ex.map(lambda p: kspace.to_ri(load_h5(p)), paths)
-            ]
-        shapes = {v.shape for v in dev_vols}
+            vols = list(ex.map(lambda p: kspace.to_ri(load_h5(p)), paths))
+        shapes = {v.shape for v in vols}
         if len(shapes) != 1:
             raise ValueError(
                 "online pipeline needs uniform volume shapes (one jitted "
                 f"program); got {sorted(shapes)} — bucket or preprocess "
                 "offline instead"
             )
-        self._k = jnp.stack(dev_vols)  # (V, S, H, W, 2) on device
-        del dev_vols
+        stack = np.empty((len(vols), *vols[0].shape), np.float32)
+        for i, v in enumerate(vols):
+            stack[i] = v
+            vols[i] = None  # release each host copy as it is packed
+        self._k = jnp.asarray(stack)  # (V, S, H, W, 2), one upload
+        del stack
         nvol, nsl, h, w, _ = self._k.shape
 
         # slice subset with MRIDataset._select_rows' semantics: slice_num
@@ -197,9 +199,13 @@ class OnlineKspaceDataset:
             )
         e = int(epoch) if self.remask else 0
         if self._under_cache is None or self._under_cache[0] != e:
-            under, under_imgs = self._tile_fn(self._k, jnp.int32(e), True)
+            # the epoch-e under IMAGES are deliberately discarded: eval
+            # consumers (snapshots, samplers, device_image_stacks) promise
+            # epoch-0 masks and read the dedicated *_imgs0 stash below —
+            # caching the current epoch's here once served them stale masks
+            # during remask training (r5 review finding)
+            under, _ = self._tile_fn(self._k, jnp.int32(e), True)
             self._under_cache = (e, under)
-            self._under_imgs = under_imgs
         return self._fully, self._under_cache[1]
 
     def batches(
@@ -234,15 +240,20 @@ class OnlineKspaceDataset:
         whole stack to numpy and the chunked sweep re-uploaded it, leaving
         the pipeline relay-transfer-bound at ~1/25th of its compute rate)."""
         self.materialize_images()
-        return self._fully_imgs, self._under_imgs
+        return self._fully_imgs0, self._under_imgs0
 
     def materialize_images(self) -> None:
         """Fill the epoch-0 (fully, under) IMAGE stacks without computing
-        the training tile stacks (eval-only consumers)."""
-        if getattr(self, "_fully_imgs", None) is None:
-            self._fully_imgs = self._imgs_fn(self._k, jnp.int32(0), False)
-        if getattr(self, "_under_imgs", None) is None:
-            self._under_imgs = self._imgs_fn(self._k, jnp.int32(0), True)
+        the training tile stacks (eval-only consumers). Kept separate from
+        ``materialize``'s per-epoch state so remask training can never
+        leak epoch-e masks into the epoch-0 eval contract."""
+        if getattr(self, "_fully_imgs0", None) is None:
+            if getattr(self, "_fully_imgs", None) is not None:
+                self._fully_imgs0 = self._fully_imgs  # mask-independent
+            else:
+                self._fully_imgs0 = self._imgs_fn(self._k, jnp.int32(0), False)
+        if getattr(self, "_under_imgs0", None) is None:
+            self._under_imgs0 = self._imgs_fn(self._k, jnp.int32(0), True)
 
     def prefetch_host_images(self) -> None:
         """Fetch the WHOLE epoch-0 image stack to the host in one transfer
@@ -255,8 +266,8 @@ class OnlineKspaceDataset:
         if getattr(self, "_imgs_np", None) is None:
             self.materialize_images()
             self._imgs_np = (
-                np.asarray(self._fully_imgs),
-                np.asarray(self._under_imgs),
+                np.asarray(self._fully_imgs0),
+                np.asarray(self._under_imgs0),
             )
 
     def get_slice(self, index: int) -> SlicePair:
@@ -275,8 +286,8 @@ class OnlineKspaceDataset:
                 cache = self._slice_np_cache = {}
             if i not in cache:
                 cache[i] = (
-                    np.asarray(self._fully_imgs[i]),
-                    np.asarray(self._under_imgs[i]),
+                    np.asarray(self._fully_imgs0[i]),
+                    np.asarray(self._under_imgs0[i]),
                 )
             fully, under = cache[i]
         return SlicePair(
@@ -327,12 +338,23 @@ class OnlineSampler:
     ) -> tuple[list[str], jax.Array, jax.Array]:
         """(slice_ids, fully, under) with the stacks as DEVICE arrays in
         this sampler's serving order — consumed by
-        ``evaluate_files_device`` (zero host round trips)."""
+        ``evaluate_files_device`` (zero host round trips).
+
+        Consumes the sampler exactly like ``num_samples`` calls of
+        ``next_sample`` (starts at the current ``_counter``, wraps modulo
+        the order length, advances the counter) so a visual pass that
+        partially consumed the sampler leaves the device sweep scoring the
+        SAME slice subset as the host sweep paths would (r5 review)."""
         ds = self.dataset
         fully, under = ds.device_image_stacks()
-        order = self._order
-        if num_samples is not None:
-            order = order[:num_samples]
+        total = len(self._order) if num_samples is None else min(
+            num_samples, len(self._order)
+        )
+        order = [
+            self._order[(self._counter + i) % len(self._order)]
+            for i in range(total)
+        ]
+        self._counter += total
         ids = [
             f"{ds.stems[ds.slice_ids[i][0]]}_{ds.slice_ids[i][1]}"
             for i in order

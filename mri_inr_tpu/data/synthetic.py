@@ -122,10 +122,13 @@ def volume_to_kspace(
         if noise_rng is None:
             noise_rng = np.random.default_rng(0)
         rms = np.sqrt(np.mean(np.abs(k) ** 2))
-        sigma = rms / (10.0 ** (snr_db / 20.0)) / np.sqrt(2.0)
-        k = k + sigma * (
+        # float32 sigma: a float64 scalar would promote the sum to
+        # complex128 under NumPy 2's dtype rules, doubling the .h5 size
+        # and breaking the fastMRI complex64 layout (r5 review)
+        sigma = np.float32(rms / (10.0 ** (snr_db / 20.0)) / np.sqrt(2.0))
+        k = (k + sigma * (
             noise_rng.normal(size=k.shape) + 1j * noise_rng.normal(size=k.shape)
-        ).astype(np.complex64)
+        ).astype(np.complex64)).astype(np.complex64)
     return k
 
 

@@ -380,10 +380,10 @@ def evaluate_files_device(
             ))
     stage_secs = time.perf_counter() - t0
 
-    t1 = time.perf_counter()
-    futs = []
-    for ids, fully, under in groups:
-        n = len(ids)
+    def pad_to_bucket(n: int, fully, under):
+        """Pad the group to a bucket multiple by repeating the last slice
+        (ONE definition — the dispatch loop and the steady probe must run
+        the identical program)."""
         k = -(-n // bucket) * bucket
         if k != n:
             idx = jnp.asarray(
@@ -392,6 +392,12 @@ def evaluate_files_device(
             )
             fully = jnp.take(fully, idx, axis=0)
             under = jnp.take(under, idx, axis=0)
+        return k, fully, under
+
+    t1 = time.perf_counter()
+    futs = []
+    for ids, fully, under in groups:
+        _, fully, under = pad_to_bucket(len(ids), fully, under)
         futs.append(
             (ids, reconstructor.metrics_chunk_async(params, fully, under))
         )
@@ -399,8 +405,11 @@ def evaluate_files_device(
 
     t2 = time.perf_counter()
     results: list[SliceResult] = []
+    group_fetch_secs = []
     for ids, fut in futs:
+        t_g = time.perf_counter()
         vals = np.asarray(fut)  # the ONE (3, K) fetch for this group
+        group_fetch_secs.append(time.perf_counter() - t_g)
         for j, sid in enumerate(ids):
             results.append(
                 SliceResult(
@@ -424,14 +433,12 @@ def evaluate_files_device(
     )
 
     if steady_probe and groups:
-        ids, fully, under = max(groups, key=lambda g: len(g[0]))
-        n = len(ids)
-        k = -(-n // bucket) * bucket
-        idx = jnp.asarray(
-            np.concatenate([np.arange(n), np.full(k - n, n - 1)]), jnp.int32
-        )
-        fully_p = jnp.take(fully, idx, axis=0) + jnp.float32(1e-7)
-        under_p = jnp.take(under, idx, axis=0)
+        largest = max(range(len(groups)), key=lambda i: len(groups[i][0]))
+        ids, fully, under = groups[largest]
+        k, fully_p, under_p = pad_to_bucket(len(ids), fully, under)
+        # perturb: the relay memoizes identical executions, so a verbatim
+        # re-run of the same program+inputs would measure nothing
+        fully_p = fully_p + jnp.float32(1e-7)
         t3 = time.perf_counter()
         np.asarray(
             reconstructor.metrics_chunk_async(params, fully_p, under_p)
@@ -439,7 +446,12 @@ def evaluate_files_device(
         steady = time.perf_counter() - t3
         timings["steady_execute_seconds"] = steady
         timings["steady_slices_per_sec"] = k / steady
-        timings["program_load_seconds"] = max(0.0, fetch_secs - steady)
+        # attribute against the LARGEST group's own fetch, not the total
+        # across shape groups — with multiple groups the total would
+        # overstate the one-time load
+        timings["program_load_seconds"] = max(
+            0.0, group_fetch_secs[largest] - steady
+        )
         log(
             f"device sweep steady probe: {k} slices in {steady:.2f}s "
             f"({k / steady:.1f} slices/s); attributed program load "

@@ -110,3 +110,46 @@ def test_device_sweep_shard_and_truncation(corpus, setup):
     )
     assert len(capped) == 5
     assert all(row in _rows(full) for row in _rows(capped))
+
+
+def test_device_sweep_honors_sampler_counter(corpus, setup):
+    """A partially-consumed sampler (e.g. after a visual pass) must leave
+    the device sweep scoring the SAME slices the host path would (r5
+    review: device_stacks used to restart at order[0])."""
+    d, _ = corpus
+    params, recon = setup
+    ds = OnlineKspaceDataset(d, remask_each_epoch=False, max_slice_num=None)
+
+    host = OnlineSampler(ds, host_prefetch=True)
+    host.next_sample(); host.next_sample()  # visual pass consumes 2
+    ref = evaluate_files(recon, params, host, num_samples=5, progress_every=0)
+
+    dev = OnlineSampler(ds, host_prefetch=False)
+    dev.next_sample(); dev.next_sample()
+    got, _ = evaluate_files_device(
+        recon, params, dev, num_samples=5, bucket=4, log=lambda *_: None
+    )
+    assert [r.slice_id for r in got] == [r.slice_id for r in ref]
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(
+            [a.psnr, a.ssim, a.nrmse], [b.psnr, b.ssim, b.nrmse], rtol=1e-5
+        )
+
+
+def test_eval_images_stay_epoch0_during_remask_training(corpus):
+    """Remask training materializes epoch-e tiles, but every eval consumer
+    (get_slice, device_image_stacks) promises epoch-0 masks (r5 review:
+    a cached current-epoch image stack once leaked through)."""
+    d, _ = corpus
+    ds_train = OnlineKspaceDataset(d, remask_each_epoch=True, max_slice_num=None)
+    ds_train.materialize(7)  # training at epoch 7: fresh masks
+    got = ds_train.get_slice(0)
+
+    ds_fresh = OnlineKspaceDataset(d, remask_each_epoch=True, max_slice_num=None)
+    want = ds_fresh.get_slice(0)
+    np.testing.assert_array_equal(got.undersampled, want.undersampled)
+    np.testing.assert_array_equal(got.fully_sampled, want.fully_sampled)
+
+    _, under0 = ds_train.device_image_stacks()
+    _, under0_fresh = ds_fresh.device_image_stacks()
+    np.testing.assert_array_equal(np.asarray(under0), np.asarray(under0_fresh))
